@@ -1,0 +1,54 @@
+"""Flash-attention kernel numerics vs the XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_llava_seg_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+)
+
+
+def _rand_qkv(key, B, Hq, Hkv, Sq, Skv, D, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, Hq, Sq, D), dtype)
+    k = jax.random.normal(kk, (B, Hkv, Skv, D), dtype)
+    v = jax.random.normal(kv, (B, Hkv, Skv, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,Sq,Skv,D",
+    [
+        (1, 2, 2, 128, 128, 64),     # plain self-attn
+        (2, 4, 2, 256, 256, 32),     # GQA
+        (1, 2, 2, 100, 100, 96),     # unaligned seq + head dim (Hiera-like)
+        (1, 1, 1, 64, 320, 128),     # cross-attn, ragged kv (memory attn)
+    ],
+)
+def test_flash_matches_reference(rng, causal, B, Hq, Hkv, Sq, Skv, D):
+    q, k, v = _rand_qkv(rng, B, Hq, Hkv, Sq, Skv, D)
+    ref = attention_reference(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16(rng):
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 128, 64, jnp.bfloat16)
+    ref = attention_reference(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
+def test_causal_first_token_ignores_future(rng):
+    q, k, v = _rand_qkv(rng, 1, 1, 1, 128, 128, 32)
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    # token 0 may only attend to kv 0 -> output equals v[0]
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
+                               np.asarray(v[0, 0, 0]), atol=1e-5, rtol=1e-5)

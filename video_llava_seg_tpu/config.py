@@ -1,0 +1,249 @@
+"""Config tree for the Video-LLaVA-Seg TPU framework.
+
+One serializable dataclass tree replaces the reference's three HfArgumentParser
+dataclasses (llava/train/data_classes.py:7-101) plus its Hydra YAML for SAM2
+(sam2/build_sam.py:60-71). Model hyperparameters live in the config that is
+persisted with checkpoints, so inference is config-driven exactly like the
+reference (llava/train/train.py:382-390).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg) -> str:
+    return json.dumps(asdict(cfg), indent=2, default=str)
+
+
+@dataclass(frozen=True)
+class DTypePolicy:
+    """Mixed-precision policy: bf16 compute feeding the MXU, fp32 accumulation."""
+
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    # dtype used for softmax/logit/loss accumulation
+    accum_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Axes: data (DP/FSDP) x model (TP over ICI)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = use all devices along data
+    data_parallel: int = -1
+    model_parallel: int = 1
+    # shard parameters along the data axis (ZeRO-3 / FSDP style)
+    fsdp: bool = False
+
+
+@dataclass(frozen=True)
+class VisionTowerConfig:
+    """ViT tower (CLIP-shaped; RADIO-shaped towers differ only in sizes).
+
+    Mirrors the capability of llava/model/multimodal_encoder/clip_encoder.py
+    (incl. position-embedding resize for image_size != native) and
+    radio_encoder.py (hidden-size table).
+    """
+
+    name: str = "clip-vit-large-336"
+    image_size: int = 336
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    # which hidden layer to tap (negative = from the end); reference uses -2
+    select_layer: int = -2
+    # 'patch' drops CLS, 'cls_patch' keeps it
+    select_feature: str = "patch"
+    use_cls_token: bool = True
+    layernorm_eps: float = 1e-5
+    # RADIO-style towers have no CLS and use an input conditioner
+    is_radio: bool = False
+
+    @property
+    def num_patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.num_patches_per_side**2
+
+
+@dataclass(frozen=True)
+class ProjectorConfig:
+    """mm projector: 'linear' | 'mlp{N}x_gelu' | 'identity' (builder.py:33-51)."""
+
+    projector_type: str = "mlp2x_gelu"
+    mm_hidden_size: int = 1024
+    hidden_size: int = 4096
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """Llama-3-8B-shaped decoder config."""
+
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    max_seq_len: int = 6144
+    tie_word_embeddings: bool = False
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "LlamaConfig":
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            max_seq_len=512,
+        )
+
+
+@dataclass(frozen=True)
+class SegHeadConfig:
+    """[SEG]-token-driven SAM2 segmentation head (llava/model/seg_head/*)."""
+
+    seg_head: str = "sam2"
+    # which SAM2 backbone variant drives the head
+    seg_backbone: str = "sam2.1-hiera-small"
+    # number of sparse prompt embeddings produced per [SEG] token
+    seg_num_queries: int = 1
+    image_size: int = 1024
+    # training: max number of seg frames per video (pad/truncate to this)
+    max_seg_frames: int = 8
+    max_objects: int = 8
+
+
+@dataclass(frozen=True)
+class VideoLlavaConfig:
+    """Full multimodal model: tower + projector + LLM + optional seg head."""
+
+    llm: LlamaConfig = field(default_factory=LlamaConfig)
+    vision: VisionTowerConfig = field(default_factory=VisionTowerConfig)
+    projector: ProjectorConfig = field(default_factory=ProjectorConfig)
+    seg: Optional[SegHeadConfig] = field(default_factory=SegHeadConfig)
+
+    # slow-fast temporal token scheme (llava_arch.py:173-198)
+    num_frames: int = 32
+    num_slow_frames: int = 8
+    # each fast frame is adaptively avg-pooled to fast_pool_size^2 tokens
+    fast_pool_size: int = 4
+
+    # token ids resolved at tokenizer-init time; -1 = unset
+    seg_token_idx: int = -1
+    sf_separator_token_idx: int = -1
+    pad_token_idx: int = 0
+
+    tokenizer_model_max_length: int = 6144
+    mm_use_im_start_end: bool = False
+
+    dtype: DTypePolicy = field(default_factory=DTypePolicy)
+
+    @property
+    def tokens_per_slow_frame(self) -> int:
+        return self.vision.num_patches
+
+    @property
+    def tokens_per_fast_frame(self) -> int:
+        return self.fast_pool_size**2
+
+    @classmethod
+    def tiny(cls) -> "VideoLlavaConfig":
+        """CPU-testable miniature with the same structure."""
+        vis = VisionTowerConfig(
+            name="tiny-vit",
+            image_size=56,
+            patch_size=14,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=2,
+        )
+        return cls(
+            llm=LlamaConfig.tiny(),
+            vision=vis,
+            projector=ProjectorConfig(mm_hidden_size=64, hidden_size=128),
+            seg=None,
+            num_frames=4,
+            num_slow_frames=2,
+            fast_pool_size=2,
+            tokenizer_model_max_length=512,
+        )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Mirrors reference DataArguments semantics (data_classes.py:31-60)."""
+
+    dataset: str = "vicas"
+    vicas_version: str = "v0.1"
+    num_frames: int = 32
+    num_slow_frames: int = 8
+    max_seg_frames: int = 8
+    seg_image_size: int = 1024
+    pad_mode: str = "center"  # 'center' | 'topleft'
+    crop_factor: float = 0.7
+    subsample_factor: int = 1
+    is_multimodal: bool = True
+    conv_template: str = "llava_llama_3"
+
+
+@dataclass(frozen=True)
+class OptimGroupLRs:
+    """Per-component learning rates (llava_trainer.py:201-365's 9 groups)."""
+
+    llm: float = 2e-5
+    vision_tower: float = 2e-6
+    projector: float = 2e-5
+    seg_encoder: float = 2e-6
+    seg_decoder: float = 2e-5
+    weight_decay: float = 0.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    output_dir: str = "output"
+    seed: int = 0
+    per_device_batch_size: int = 1
+    gradient_accumulation_steps: int = 4
+    num_train_steps: int = 10000
+    warmup_ratio: float = 0.03
+    lr_schedule: str = "cosine"
+    lrs: OptimGroupLRs = field(default_factory=OptimGroupLRs)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_checkpointing: bool = True
+    save_steps: int = 2000
+    save_total_limit: int = 1
+    logging_steps: int = 1
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # freeze policy (train.py:492-534)
+    freeze_llm: bool = False
+    freeze_vision_tower: bool = False
+    freeze_projector: bool = False
+    freeze_seg_encoder: bool = False
+    freeze_seg_decoder: bool = False
+    mask_dice_weight: float = 1.0
+    mask_ce_weight: float = 2.0

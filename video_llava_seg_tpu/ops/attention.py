@@ -1,0 +1,221 @@
+"""Attention ops: Pallas TPU flash attention + XLA reference.
+
+This replaces the reference's attention shims (flash-attn / xformers monkey
+patches at llava/train/llama_flash_attn_monkey_patch.py and the SDPA kernel
+picker at sam2/modeling/sam/transformer.py:28-41) with one dispatcher:
+
+  attention(q, k, v, causal=..., backend="auto")
+
+- q: [B, Hq, Sq, D], k/v: [B, Hkv, Skv, D] with Hq % Hkv == 0 (GQA).
+- "pallas": blockwise online-softmax flash attention, fp32 statistics,
+  never materializes the [Sq, Skv] score matrix (VMEM-resident tiles only).
+- "xla": jnp einsum reference (used on CPU and as the numerics oracle).
+
+The Pallas kernel pads Sq/Skv/D to tile multiples internally and masks the
+padding, so callers can pass arbitrary shapes (e.g. Hiera's 96-dim heads or
+memory attention's ragged KV lengths).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Large-negative mask value; avoids exp(-inf - (-inf)) NaNs.
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+_LANES = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation
+# ---------------------------------------------------------------------------
+
+def attention_reference(q, k, v, *, causal: bool = False,
+                        scale: Optional[float] = None,
+                        kv_valid_len: Optional[int] = None):
+    """Plain softmax attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D]."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Skv = k.shape[1], k.shape[2]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    group = Hq // Hkv
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if causal:
+        qi = jnp.arange(Sq)[:, None]
+        ki = jnp.arange(Skv)[None, :]
+        s = jnp.where((ki <= qi + (Skv - Sq))[None, None], s, _MASK_VALUE)
+    if kv_valid_len is not None:
+        ki = jnp.arange(Skv)[None, None, None, :]
+        s = jnp.where(ki < kv_valid_len, s, _MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, causal: bool, q_len: int, kv_len: int,
+                  block_q: int, block_k: int, num_kv_blocks: int,
+                  q_offset: int):
+    """Grid: (B, Hq, num_q_blocks, num_kv_blocks); kv dim is the reduction."""
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Block-level causal skip: run only if this kv block intersects the
+    # allowed region for this q block.
+    if causal:
+        run = (ik * block_k) <= (iq * block_q + block_q - 1 + q_offset)
+    else:
+        run = True
+
+    @pl.when(run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [block_q, block_k]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+        mask = col < kv_len
+        if causal:
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + iq * block_q + q_offset)
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, _MASK_VALUE)
+
+        m_prev = m_ref[...]             # [block_q, LANES]
+        l_prev = l_ref[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)              # [block_q,1]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)                        # [bq, LANES]
+        p = jnp.exp(s - m_next[:, :1])                          # [bq, bk]
+        l_next = alpha * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_prev.shape)
+        m_ref[...] = m_next
+        l_ref[...] = l_next
+
+        acc_ref[...] = acc_ref[...] * alpha[:, :1]
+        v = v_ref[0, 0].astype(jnp.float32)
+        acc_ref[...] += jax.lax.dot(p, v,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    scale: Optional[float] = None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False):
+    """Pallas flash attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
+
+    Handles GQA via the k/v index map (kv head = q head // group), arbitrary
+    Sq/Skv/D via padding + in-kernel masking, and self/cross causal offsets
+    (causal with Sq != Skv aligns the diagonal to the sequence ends).
+    """
+    B, Hq, Sq, D = q.shape
+    Hkv, Skv = k.shape[1], k.shape[2]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    group = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+
+    block_q = min(block_q, _ceil_to(Sq, _LANES))
+    block_k = min(block_k, _ceil_to(Skv, _LANES))
+    sq_p = _ceil_to(Sq, block_q)
+    skv_p = _ceil_to(Skv, block_k)
+    d_p = _ceil_to(D, _LANES)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
+
+    num_q_blocks = sq_p // block_q
+    num_kv_blocks = skv_p // block_k
+    q_offset = Skv - Sq  # aligns causal diagonal for cross lengths
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal, q_len=Sq, kv_len=Skv,
+        block_q=block_q, block_k=block_k, num_kv_blocks=num_kv_blocks,
+        q_offset=q_offset)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_p),
+                         lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d_p),
+                         lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d_p),
+                         lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
+                               lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
+            pltpu.VMEM((block_q, d_p), jnp.float32),     # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :Sq, :D]
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
+              backend: str = "auto", interpret: bool = False):
+    """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere."""
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        return flash_attention(q, k, v, causal=causal, scale=scale,
+                               interpret=interpret)
+    if backend == "xla":
+        return attention_reference(q, k, v, causal=causal, scale=scale)
+    raise ValueError(f"unknown attention backend: {backend}")
