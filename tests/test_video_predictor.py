@@ -1,0 +1,148 @@
+"""SAM2VideoPredictor parity vs the reference (random weights, jpg frames)."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.reference_loader import load_reference_sam2  # noqa: E402
+
+load_reference_sam2()
+
+from tests.test_sam2_memory_parity import TINY  # noqa: E402
+
+from video_llava_seg_tpu.convert.sam2_torch import convert_sam2_base  # noqa: E402
+from video_llava_seg_tpu.models.sam2.video_predictor import (  # noqa: E402
+    SAM2VideoPredictor,
+)
+
+NUM_FRAMES = 6
+
+
+def _make_video(tmpdir, size=128):
+    """Synthetic video: bright square moving on a gradient background."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 40, (size, size, 3), np.uint8)
+    for t in range(NUM_FRAMES):
+        img = noise.copy()
+        x = 20 + 8 * t
+        img[40:80, x:x + 40] = 220
+        Image.fromarray(img).save(os.path.join(tmpdir, f"{t}.jpg"),
+                                  quality=95)
+    return tmpdir
+
+
+def _ref_video_predictor():
+    from sam2.sam2_video_predictor import SAM2VideoPredictor as RefVP
+    from tests.test_sam2_memory_parity import (_ref_memory_attention,
+                                               _ref_memory_encoder,
+                                               _ref_sam2_base)
+    # build with the same submodules as the base parity test
+    ref_base = _ref_sam2_base()
+    vp = RefVP.__new__(RefVP)
+    torch.nn.Module.__init__(vp)
+    vp.__dict__.update(ref_base.__dict__)
+    vp.fill_hole_area = 0
+    vp.non_overlap_masks = False
+    vp.clear_non_cond_mem_around_input = False
+    vp.clear_non_cond_mem_for_multi_obj = False
+    vp.add_all_frames_to_correct_as_cond = False
+    return vp.eval()
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vid")
+    return str(_make_video(str(d)))
+
+
+@pytest.fixture(scope="module")
+def predictors():
+    ref = _ref_video_predictor()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    mine = SAM2VideoPredictor(convert_sam2_base(sd, TINY), TINY)
+    return ref, mine
+
+
+def test_propagate_parity_single_object(predictors, video_dir):
+    ref, mine = predictors
+    # reference loader needs cuda-free device arg
+    ref_state = ref.init_state(video_dir, offload_video_to_cpu=False)
+    my_state = mine.init_state(video_dir)
+    assert my_state["num_frames"] == NUM_FRAMES
+    assert my_state["video_height"] == 128
+
+    pts = np.array([[40.0, 60.0]], np.float32)
+    lbl = np.array([1], np.int32)
+    with torch.no_grad():
+        _, _, r_masks0 = ref.add_new_points_or_box(
+            ref_state, 0, 1, points=pts, labels=lbl)
+    _, _, m_masks0 = mine.add_new_points_or_box(
+        my_state, 0, 1, points=pts, labels=lbl)
+    np.testing.assert_allclose(np.asarray(m_masks0),
+                               r_masks0.detach().numpy(), atol=0.08,
+                               rtol=0.05)
+
+    ref_outs = {}
+    with torch.no_grad():
+        for fidx, oids, masks in ref.propagate_in_video(ref_state):
+            ref_outs[fidx] = masks.detach().numpy()
+    my_outs = {}
+    for fidx, oids, masks in mine.propagate_in_video(my_state):
+        my_outs[fidx] = np.asarray(masks)
+
+    assert set(my_outs) == set(ref_outs)
+    for fidx in ref_outs:
+        r = ref_outs[fidx]
+        m = my_outs[fidx]
+        assert m.shape == r.shape
+        # binary agreement (random weights make logits noisy; sign agreement
+        # over >97% of pixels is the meaningful bar)
+        agree = np.mean((m > 0) == (r > 0))
+        assert agree > 0.97, f"frame {fidx}: agreement {agree}"
+
+
+def test_propagate_multi_object(predictors, video_dir):
+    _, mine = predictors
+    state = mine.init_state(video_dir)
+    mine.add_new_points_or_box(state, 0, 1,
+                               points=np.array([[40.0, 60.0]]),
+                               labels=np.array([1]))
+    mine.add_new_points_or_box(state, 0, 2,
+                               points=np.array([[100.0, 100.0]]),
+                               labels=np.array([1]))
+    outs = list(mine.propagate_in_video(state))
+    assert len(outs) == NUM_FRAMES
+    fidx, obj_ids, masks = outs[0]
+    assert obj_ids == [1, 2]
+    assert masks.shape == (2, 1, 128, 128)
+
+
+def test_add_mask_and_reverse(predictors, video_dir):
+    _, mine = predictors
+    state = mine.init_state(video_dir)
+    mask = np.zeros((128, 128), bool)
+    mask[40:80, 44:84] = True
+    fidx, oids, m = mine.add_new_mask(state, 3, 7, mask)
+    assert m.shape == (1, 1, 128, 128)
+    outs = list(mine.propagate_in_video(state, start_frame_idx=3,
+                                        reverse=True))
+    assert [o[0] for o in outs] == [3, 2, 1, 0]
+
+
+def test_remove_object_and_reset(predictors, video_dir):
+    _, mine = predictors
+    state = mine.init_state(video_dir)
+    mine.add_new_points_or_box(state, 0, 1, points=np.array([[40.0, 60.0]]),
+                               labels=np.array([1]))
+    mine.add_new_points_or_box(state, 0, 2, points=np.array([[90.0, 90.0]]),
+                               labels=np.array([1]))
+    obj_ids, _ = mine.remove_object(state, 2)
+    assert obj_ids == [1]
+    mine.reset_state(state)
+    assert state["obj_ids"] == []

@@ -125,7 +125,8 @@ def _rope_attn_init(key, d_model, kv_in_dim=None, dtype=jnp.float32):
 
 
 def _rope_attn_apply(p, cfg: SAM2Config, q, k, v, *, rope_k_repeat: bool,
-                     num_k_exclude_rope: int = 0, interpret: bool = False):
+                     num_k_exclude_rope: int = 0, interpret: bool = False,
+                     kv_mask=None):
     """RoPEAttention (transformer.py:289-360): project, apply axial RoPE on a
     sqrt(Nq) x sqrt(Nq) grid, attend."""
     ma = cfg.memory_attention
@@ -145,7 +146,8 @@ def _rope_attn_apply(p, cfg: SAM2Config, q, k, v, *, rope_k_repeat: bool,
                               repeat_freqs_k=rope_k_repeat,
                               num_k_exclude=num_k_exclude_rope)
     backend = "auto" if nq >= 256 else "xla"
-    o = attention(qh, kh, vh, backend=backend, interpret=interpret)
+    o = attention(qh, kh, vh, backend=backend, interpret=interpret,
+                  kv_mask=kv_mask)
     o = o.transpose(0, 2, 1, 3).reshape(b, nq, c)
     return nn.dense(p["out_proj"], o)
 
@@ -173,7 +175,7 @@ def memory_attention_init(key, cfg: SAM2Config, dtype=jnp.float32):
 
 def memory_attention_apply(params, cfg: SAM2Config, curr, memory, curr_pos,
                            memory_pos, num_obj_ptr_tokens: int = 0,
-                           interpret: bool = False):
+                           interpret: bool = False, memory_mask=None):
     """curr: [B, N, C] current-frame tokens; memory: [B, M, kv_in_dim];
     curr_pos/memory_pos: matching positional encodings. Returns [B, N, C].
 
@@ -197,7 +199,7 @@ def memory_attention_apply(params, cfg: SAM2Config, curr, memory, curr_pos,
         t2 = _rope_attn_apply(layer["cross_attn_image"], cfg, q_in, k_in,
                               memory, rope_k_repeat=True,
                               num_k_exclude_rope=num_obj_ptr_tokens,
-                              interpret=interpret)
+                              interpret=interpret, kv_mask=memory_mask)
         output = output + t2
         # FFN (relu)
         t2 = nn.layer_norm(layer["norm3"], output, _LN_EPS)

@@ -1,0 +1,944 @@
+"""SAM2VideoPredictor — streaming multi-object video segmentation.
+
+Public API parity with sam2/sam2_video_predictor.py (init_state,
+add_new_points_or_box, add_new_mask, propagate_in_video[_preflight],
+reset_state, remove_object, clear_all_prompts_in_frame), rebuilt TPU-first:
+
+- The reference assembles a variable-length memory list per frame from python
+  dicts (sam2_base.py:497-674). Here the memory bank is a **fixed-capacity
+  slot structure** — `num_maskmem` spatial-memory slots plus
+  `max_obj_ptrs_in_encoder` object-pointer slots, each with a validity flag —
+  so every tracked frame runs the same compiled program (no shape churn), and
+  invalid slots are masked inside attention rather than branching.
+- All per-frame compute (encode, memory attention, SAM heads, memory
+  encoding) is jitted; the host only does slot bookkeeping.
+
+Host-side session state mirrors the reference's inference_state dict so the
+interaction semantics (cond vs non-cond frames, temp outputs, consolidation,
+per-object slices) match exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_llava_seg_tpu.data.video_io import load_video_frames
+from video_llava_seg_tpu.models.sam2 import base, memory
+from video_llava_seg_tpu.models.sam2.config import SAM2Config
+from video_llava_seg_tpu.models.sam2.position_encoding import (
+    sine_pos_embed_1d,
+    sine_pos_embed_hw,
+)
+from video_llava_seg_tpu.ops import nn
+from video_llava_seg_tpu.ops.connected_components import (
+    fill_holes_and_sprinkles,
+)
+from video_llava_seg_tpu.ops.resize import interpolate_hw
+
+NO_OBJ_SCORE = base.NO_OBJ_SCORE
+
+
+class SAM2VideoPredictor:
+    def __init__(self, params, cfg: SAM2Config,
+                 fill_hole_area: float = 0.0,
+                 non_overlap_masks: bool = False,
+                 clear_non_cond_mem_around_input: bool = False,
+                 clear_non_cond_mem_for_multi_obj: bool = False,
+                 add_all_frames_to_correct_as_cond: bool = False,
+                 max_cond_slots: int = 4,
+                 interpret: bool = False):
+        self.params = params
+        self.cfg = cfg
+        self.fill_hole_area = fill_hole_area
+        self.non_overlap_masks = non_overlap_masks
+        self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
+        self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
+        self.add_all_frames_to_correct_as_cond = add_all_frames_to_correct_as_cond
+        # fixed memory-slot capacity: cond slots + (num_maskmem - 1) non-cond
+        self.max_cond_slots = max_cond_slots
+        self.num_slots = max_cond_slots + cfg.num_maskmem - 1
+        self.interpret = interpret
+        self.image_size = cfg.image_size
+        self.hidden_dim = cfg.hidden_dim
+
+        self._encode_jit = jax.jit(self._encode_impl)
+        self._track_jit = jax.jit(
+            self._track_impl,
+            static_argnames=("has_points", "use_memory", "multimask"))
+        self._mask_as_output_jit = jax.jit(self._mask_as_output_impl)
+        self._encode_mem_jit = jax.jit(self._encode_mem_impl,
+                                       static_argnames=("is_pts",))
+        self._fill_holes_jit = jax.jit(self._fill_holes_impl)
+
+    @classmethod
+    def from_pretrained(cls, model_id: str, **kwargs):
+        from video_llava_seg_tpu.models.sam2.build import build_sam2
+        params, cfg = build_sam2(model_id)
+        # video predictor postprocessing defaults (build_sam.py:88-102)
+        kwargs.setdefault("fill_hole_area", 8)
+        kwargs.setdefault("non_overlap_masks", False)
+        return cls(params, cfg, **kwargs)
+
+    # ------------------------------------------------------------------
+    # jitted compute
+    # ------------------------------------------------------------------
+
+    def _encode_impl(self, image):
+        out = base.forward_image(self.params, self.cfg, image, self.interpret)
+        feats, pos, sizes = base.prepare_backbone_features(self.cfg, out)
+        return tuple(feats)
+
+    def _track_impl(self, feats, coords, labels, prev_mask,
+                    mem_feats, slot_tpos, slot_valid, ptrs, ptr_tpos,
+                    ptr_valid, *, has_points: bool, use_memory: bool,
+                    multimask: bool):
+        """One frame of tracking for B objects (batched along dim 0).
+
+        feats: 3-level tuple, each [B, h, w, c]. Memory inputs are the fixed
+        slot bank (zeros + valid=False on empty slots)."""
+        cfg = self.cfg
+        low = feats[-1]
+        b, h, w, c = low.shape
+
+        if not use_memory:
+            # init cond frame: directly add no_mem_embed (sam2_base.py:653-659)
+            pix = (low.reshape(b, h * w, c)
+                   + self.params["no_mem_embed"]).reshape(b, h, w, c)
+        else:
+            pix = self._condition_on_memory(low, mem_feats, slot_tpos,
+                                            slot_valid, ptrs, ptr_tpos,
+                                            ptr_valid)
+
+        outs = base.forward_sam_heads(
+            self.params, cfg, pix,
+            point_coords=coords if has_points else None,
+            point_labels=labels if has_points else None,
+            mask_inputs=prev_mask,
+            high_res_features=list(feats[:-1]),
+            multimask_output=multimask,
+            interpret=self.interpret)
+        (_, _, ious, low_res_masks, high_res_masks, obj_ptr,
+         object_score_logits) = outs
+        return low_res_masks, high_res_masks, obj_ptr, object_score_logits, pix
+
+    def _condition_on_memory(self, low, mem_feats, slot_tpos, slot_valid,
+                             ptrs, ptr_tpos, ptr_valid):
+        """Fixed-slot equivalent of _prepare_memory_conditioned_features
+        (sam2_base.py:497-674): concat spatial memory slots + split object
+        pointers, mask invalid slots inside attention."""
+        cfg = self.cfg
+        b, h, w, c = low.shape
+        s_slots = mem_feats.shape[1]
+        hw = h * w
+        mem_dim = cfg.mem_dim
+        ratio = c // mem_dim
+
+        curr = low.reshape(b, hw, c)
+        curr_pos = jnp.asarray(
+            sine_pos_embed_hw(h, w, cfg.fpn.pos_num_feats), low.dtype
+        ).reshape(1, hw, c)
+        curr_pos = jnp.broadcast_to(curr_pos, (b, hw, c))
+
+        # spatial memory tokens [B, S*HW, mem_dim]
+        spatial = mem_feats.reshape(b, s_slots * hw, mem_dim)
+        mem_pos_grid = jnp.asarray(
+            sine_pos_embed_hw(h, w, cfg.memory_encoder.pos_num_feats),
+            low.dtype).reshape(1, 1, hw, mem_dim)
+        tpos = jnp.take(self.params["maskmem_tpos_enc"][:, 0, 0],
+                        slot_tpos, axis=0)              # [S, mem_dim]
+        spatial_pos = (mem_pos_grid + tpos[None, :, None, :]).reshape(
+            1, s_slots * hw, mem_dim)
+        spatial_pos = jnp.broadcast_to(spatial_pos, (b, s_slots * hw, mem_dim))
+
+        # object pointer tokens: each ptr splits into (C/mem_dim) tokens
+        p_slots = ptrs.shape[1]
+        t_diff_max = max(cfg.max_obj_ptrs_in_encoder - 1, 1)
+        if cfg.add_tpos_enc_to_obj_ptrs:
+            tpos_dim = (cfg.hidden_dim if cfg.proj_tpos_enc_in_obj_ptrs
+                        else mem_dim)
+            obj_pos = sine_pos_embed_1d(
+                ptr_tpos.astype(jnp.float32) / t_diff_max, tpos_dim)
+            if cfg.proj_tpos_enc_in_obj_ptrs:
+                obj_pos = nn.dense(self.params["obj_ptr_tpos_proj"], obj_pos)
+        else:
+            obj_pos = jnp.zeros((p_slots, mem_dim), low.dtype)
+        ptr_tokens = ptrs.reshape(b, p_slots, ratio, mem_dim).reshape(
+            b, p_slots * ratio, mem_dim)
+        obj_pos_tokens = jnp.repeat(obj_pos, ratio, axis=0)[None]
+        obj_pos_tokens = jnp.broadcast_to(obj_pos_tokens,
+                                          (b, p_slots * ratio, mem_dim))
+
+        memory_tokens = jnp.concatenate([spatial, ptr_tokens], axis=1)
+        memory_pos = jnp.concatenate(
+            [spatial_pos, obj_pos_tokens.astype(spatial_pos.dtype)], axis=1)
+
+        # validity mask over kv tokens
+        spatial_mask = jnp.repeat(slot_valid, hw)[None]
+        ptr_mask = jnp.repeat(ptr_valid, ratio)[None]
+        kv_mask = jnp.concatenate([spatial_mask, ptr_mask], axis=1)
+        kv_mask = jnp.broadcast_to(kv_mask,
+                                   (b, kv_mask.shape[1])).astype(bool)
+
+        out = memory.memory_attention_apply(
+            self.params["memory_attention"], cfg, curr, memory_tokens,
+            curr_pos, memory_pos,
+            num_obj_ptr_tokens=p_slots * ratio,
+            interpret=self.interpret, memory_mask=kv_mask)
+        return out.reshape(b, h, w, c)
+
+    def _mask_as_output_impl(self, feats, mask_inputs):
+        cfg = self.cfg
+        low = feats[-1]
+        b, h, w, c = low.shape
+        pix = low  # raw features (track_step mask path skips memory)
+        return base.use_mask_as_output(self.params, cfg, pix,
+                                       list(feats[:-1]), mask_inputs)
+
+    def _encode_mem_impl(self, pix_feat, high_res_masks, scores, *,
+                         is_pts: bool):
+        return base.encode_new_memory(self.params, self.cfg, pix_feat,
+                                      high_res_masks, scores,
+                                      is_mask_from_pts=is_pts)
+
+    def _fill_holes_impl(self, masks):
+        b, m = masks.shape[0], masks.shape[1]
+        flat = masks.reshape(b * m, *masks.shape[2:])
+        out = fill_holes_and_sprinkles(flat, 0.0,
+                                       max_hole_area=self.fill_hole_area)
+        # reference fills with 0.1 (misc.py:326); ours fills with +10 above
+        # threshold; clamp to the reference's small positive value
+        out = jnp.where((flat <= 0.0) & (out > 0.0), 0.1, out)
+        return out.reshape(masks.shape)
+
+    # ------------------------------------------------------------------
+    # session state
+    # ------------------------------------------------------------------
+
+    def init_state(self, video_path, offload_video_to_cpu: bool = False,
+                   offload_state_to_cpu: bool = False,
+                   async_loading_frames: bool = False) -> Dict:
+        """Load frames and build a fresh inference state
+        (sam2_video_predictor.py:43-111 parity; frames can also be a
+        [T, H, W, 3] uint8 ndarray)."""
+        images, video_height, video_width = load_video_frames(
+            video_path, self.image_size)
+        state: Dict = {}
+        state["images"] = np.asarray(images)  # host; moved per-frame
+        state["num_frames"] = len(images)
+        state["video_height"] = video_height
+        state["video_width"] = video_width
+        state["point_inputs_per_obj"] = {}
+        state["mask_inputs_per_obj"] = {}
+        state["cached_features"] = {}
+        state["constants"] = {}
+        state["obj_id_to_idx"] = OrderedDict()
+        state["obj_idx_to_id"] = OrderedDict()
+        state["obj_ids"] = []
+        state["output_dict"] = {"cond_frame_outputs": {},
+                                "non_cond_frame_outputs": {}}
+        state["output_dict_per_obj"] = {}
+        state["temp_output_dict_per_obj"] = {}
+        state["consolidated_frame_inds"] = {"cond_frame_outputs": set(),
+                                            "non_cond_frame_outputs": set()}
+        state["tracking_has_started"] = False
+        state["frames_already_tracked"] = {}
+        self._get_image_feature(state, 0, 1)
+        return state
+
+    def reset_state(self, state) -> None:
+        self._reset_tracking_results(state)
+        state["obj_id_to_idx"].clear()
+        state["obj_idx_to_id"].clear()
+        state["obj_ids"] = []
+        state["point_inputs_per_obj"].clear()
+        state["mask_inputs_per_obj"].clear()
+        state["output_dict_per_obj"].clear()
+        state["temp_output_dict_per_obj"].clear()
+
+    def _reset_tracking_results(self, state) -> None:
+        for v in state["point_inputs_per_obj"].values():
+            v.clear()
+        for v in state["mask_inputs_per_obj"].values():
+            v.clear()
+        for v in state["output_dict_per_obj"].values():
+            v["cond_frame_outputs"].clear()
+            v["non_cond_frame_outputs"].clear()
+        for v in state["temp_output_dict_per_obj"].values():
+            v["cond_frame_outputs"].clear()
+            v["non_cond_frame_outputs"].clear()
+        state["output_dict"]["cond_frame_outputs"].clear()
+        state["output_dict"]["non_cond_frame_outputs"].clear()
+        state["consolidated_frame_inds"]["cond_frame_outputs"].clear()
+        state["consolidated_frame_inds"]["non_cond_frame_outputs"].clear()
+        state["tracking_has_started"] = False
+        state["frames_already_tracked"].clear()
+
+    def _obj_id_to_idx(self, state, obj_id) -> int:
+        obj_idx = state["obj_id_to_idx"].get(obj_id)
+        if obj_idx is not None:
+            return obj_idx
+        if state["tracking_has_started"]:
+            raise RuntimeError(
+                f"Cannot add new object id {obj_id} after tracking starts. "
+                f"All existing object ids: {state['obj_ids']}. "
+                "Please call 'reset_state' to restart from scratch.")
+        obj_idx = len(state["obj_id_to_idx"])
+        state["obj_id_to_idx"][obj_id] = obj_idx
+        state["obj_idx_to_id"][obj_idx] = obj_id
+        state["obj_ids"] = list(state["obj_id_to_idx"])
+        state["point_inputs_per_obj"][obj_idx] = {}
+        state["mask_inputs_per_obj"][obj_idx] = {}
+        state["output_dict_per_obj"][obj_idx] = {
+            "cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+        state["temp_output_dict_per_obj"][obj_idx] = {
+            "cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+        return obj_idx
+
+    def _obj_idx_to_id(self, state, obj_idx):
+        return state["obj_idx_to_id"][obj_idx]
+
+    def _get_obj_num(self, state) -> int:
+        return len(state["obj_idx_to_id"])
+
+    def _get_image_feature(self, state, frame_idx: int, batch_size: int):
+        """Per-frame feature cache of size 1 (reference :879-910)."""
+        feats = state["cached_features"].get(frame_idx)
+        if feats is None:
+            image = jnp.asarray(state["images"][frame_idx])[None]
+            feats = self._encode_jit(image)
+            state["cached_features"] = {frame_idx: feats}
+        if batch_size > 1:
+            feats = tuple(jnp.broadcast_to(f, (batch_size,) + f.shape[1:])
+                          for f in feats)
+        return feats
+
+    # ------------------------------------------------------------------
+    # memory bank assembly (host-side slot bookkeeping)
+    # ------------------------------------------------------------------
+
+    def _select_closest_cond_frames(self, frame_idx, cond_outputs, limit):
+        """select_closest_cond_frames parity (sam2_utils.py:19-61)."""
+        if limit == -1 or len(cond_outputs) <= limit:
+            return dict(cond_outputs), {}
+        assert limit >= 2
+        selected = {}
+        idx_before = max((t for t in cond_outputs if t < frame_idx),
+                         default=None)
+        if idx_before is not None:
+            selected[idx_before] = cond_outputs[idx_before]
+        idx_after = min((t for t in cond_outputs if t >= frame_idx),
+                        default=None)
+        if idx_after is not None:
+            selected[idx_after] = cond_outputs[idx_after]
+        remain = sorted((t for t in cond_outputs if t not in selected),
+                        key=lambda x: abs(x - frame_idx))[: limit - len(selected)]
+        selected.update((t, cond_outputs[t]) for t in remain)
+        unselected = {t: v for t, v in cond_outputs.items()
+                      if t not in selected}
+        return selected, unselected
+
+    def _assemble_memory(self, state, output_dict, frame_idx: int,
+                         batch_size: int, track_in_reverse: bool):
+        """Build the fixed-slot memory bank for one frame.
+
+        Returns (mem_feats [B,S,H,W->flattened later], slot_tpos [S],
+        slot_valid [S], ptrs [B,P,C], ptr_tpos [P], ptr_valid [P])."""
+        cfg = self.cfg
+        s = cfg.image_embedding_size
+        hw = s * s
+        S = self.num_slots
+        P = cfg.max_obj_ptrs_in_encoder
+        mem_dim = cfg.mem_dim
+        C = cfg.hidden_dim
+
+        cond_outputs = output_dict["cond_frame_outputs"]
+        selected_cond, unselected_cond = self._select_closest_cond_frames(
+            frame_idx, cond_outputs, self.max_cond_slots
+            if cfg.max_cond_frames_in_attn == -1
+            else cfg.max_cond_frames_in_attn)
+
+        # (t_pos, out) pairs: cond frames with t_pos=0, then previous frames
+        # at t_pos 1..num_maskmem-1 with temporal stride r (sam2_base:522-568)
+        t_pos_and_prevs = [(0, out) for out in selected_cond.values()]
+        stride = max(cfg.memory_temporal_stride_for_eval, 1)
+        for t_pos in range(1, cfg.num_maskmem):
+            t_rel = cfg.num_maskmem - t_pos
+            if t_rel == 1:
+                prev_idx = (frame_idx + 1) if track_in_reverse else (frame_idx - 1)
+            else:
+                if not track_in_reverse:
+                    prev_idx = ((frame_idx - 2) // stride) * stride
+                    prev_idx = prev_idx - (t_rel - 2) * stride
+                else:
+                    prev_idx = -(-(frame_idx + 2) // stride) * stride
+                    prev_idx = prev_idx + (t_rel - 2) * stride
+            out = output_dict["non_cond_frame_outputs"].get(prev_idx)
+            if out is None:
+                out = unselected_cond.get(prev_idx)
+            t_pos_and_prevs.append((t_pos, out))
+
+        mem_feats = np.zeros((batch_size, S, hw, mem_dim), np.float32)
+        slot_tpos = np.zeros((S,), np.int32)
+        slot_valid = np.zeros((S,), bool)
+        slot = 0
+        for t_pos, prev in t_pos_and_prevs:
+            if prev is None or slot >= S:
+                continue
+            feats = np.asarray(prev["maskmem_features"],
+                               np.float32)  # [B, H, W, mem_dim]
+            mem_feats[:, slot] = feats.reshape(batch_size, hw, mem_dim)
+            slot_tpos[slot] = cfg.num_maskmem - t_pos - 1
+            slot_valid[slot] = True
+            slot += 1
+
+        # object pointers (sam2_base:591-650)
+        ptrs = np.zeros((batch_size, P, C), np.float32)
+        ptr_tpos = np.zeros((P,), np.float32)
+        ptr_valid = np.zeros((P,), bool)
+        if cfg.use_obj_ptrs_in_encoder:
+            max_ptrs = min(state["num_frames"], P)
+            tpos_sign_mul = -1 if track_in_reverse else 1
+            if cfg.only_obj_ptrs_in_the_past_for_eval:
+                ptr_cond = {t: out for t, out in selected_cond.items()
+                            if (t >= frame_idx if track_in_reverse
+                                else t <= frame_idx)}
+            else:
+                ptr_cond = selected_cond
+            pos_and_ptrs = [
+                ((frame_idx - t) * tpos_sign_mul
+                 if cfg.use_signed_tpos_enc_to_obj_ptrs else abs(frame_idx - t),
+                 out["obj_ptr"]) for t, out in ptr_cond.items()]
+            for t_diff in range(1, max_ptrs):
+                t = (frame_idx + t_diff if track_in_reverse
+                     else frame_idx - t_diff)
+                if t < 0 or t >= state["num_frames"]:
+                    break
+                out = output_dict["non_cond_frame_outputs"].get(
+                    t, unselected_cond.get(t))
+                if out is not None:
+                    pos_and_ptrs.append((t_diff, out["obj_ptr"]))
+            for i, (td, ptr) in enumerate(pos_and_ptrs[:P]):
+                ptrs[:, i] = np.asarray(ptr, np.float32)
+                ptr_tpos[i] = td
+                ptr_valid[i] = True
+
+        return (jnp.asarray(mem_feats), jnp.asarray(slot_tpos),
+                jnp.asarray(slot_valid), jnp.asarray(ptrs),
+                jnp.asarray(ptr_tpos), jnp.asarray(ptr_valid))
+
+    def _empty_memory(self, batch_size: int):
+        cfg = self.cfg
+        s = cfg.image_embedding_size
+        hw = s * s
+        return (jnp.zeros((batch_size, self.num_slots, hw, cfg.mem_dim)),
+                jnp.zeros((self.num_slots,), jnp.int32),
+                jnp.zeros((self.num_slots,), bool),
+                jnp.zeros((batch_size, cfg.max_obj_ptrs_in_encoder,
+                           cfg.hidden_dim)),
+                jnp.zeros((cfg.max_obj_ptrs_in_encoder,), jnp.float32),
+                jnp.zeros((cfg.max_obj_ptrs_in_encoder,), bool))
+
+    # ------------------------------------------------------------------
+    # core per-frame inference
+    # ------------------------------------------------------------------
+
+    def _use_multimask(self, is_init_cond_frame: bool, point_inputs) -> bool:
+        cfg = self.cfg
+        num_pts = (0 if point_inputs is None
+                   else point_inputs["point_labels"].shape[1])
+        return (cfg.multimask_output_in_sam
+                and (is_init_cond_frame or cfg.multimask_output_for_tracking)
+                and (cfg.multimask_min_pt_num <= num_pts
+                     <= cfg.multimask_max_pt_num))
+
+    def _run_single_frame_inference(self, state, output_dict, frame_idx,
+                                    batch_size, is_init_cond_frame,
+                                    point_inputs, mask_inputs, reverse,
+                                    run_mem_encoder,
+                                    prev_sam_mask_logits=None):
+        """Reference :912-978 parity."""
+        cfg = self.cfg
+        feats = self._get_image_feature(state, frame_idx, batch_size)
+        assert point_inputs is None or mask_inputs is None
+
+        if (mask_inputs is not None
+                and cfg.use_mask_input_as_output_without_sam):
+            outs = self._mask_as_output_jit(feats, mask_inputs)
+            (_, _, _, low_res_masks, high_res_masks, obj_ptr,
+             object_score_logits) = outs
+            pix = feats[-1]
+        else:
+            if is_init_cond_frame:
+                mem = self._empty_memory(batch_size)
+                use_memory = False
+            else:
+                mem = self._assemble_memory(state, output_dict, frame_idx,
+                                            batch_size, reverse)
+                use_memory = True
+            has_points = point_inputs is not None
+            coords = (jnp.asarray(point_inputs["point_coords"]) if has_points
+                      else jnp.zeros((batch_size, 1, 2)))
+            labels = (jnp.asarray(point_inputs["point_labels"]) if has_points
+                      else -jnp.ones((batch_size, 1), jnp.int32))
+            prev_mask = None
+            if prev_sam_mask_logits is not None:
+                prev_mask = jnp.transpose(
+                    jnp.asarray(prev_sam_mask_logits), (0, 2, 3, 1))
+            multimask = self._use_multimask(is_init_cond_frame, point_inputs)
+            low_res_masks, high_res_masks, obj_ptr, object_score_logits, pix = (
+                self._track_jit(feats, coords, labels, prev_mask, *mem,
+                                has_points=has_points, use_memory=use_memory,
+                                multimask=multimask))
+
+        if self.fill_hole_area > 0:
+            low_res_masks = self._fill_holes_jit(low_res_masks)
+
+        current_out = {
+            "maskmem_features": None,
+            "maskmem_pos_enc": None,
+            "pred_masks": low_res_masks,
+            "obj_ptr": obj_ptr,
+            "object_score_logits": object_score_logits,
+        }
+        if run_mem_encoder and cfg.num_maskmem > 0:
+            maskmem_features, _ = self._encode_mem_jit(
+                pix, high_res_masks, object_score_logits,
+                is_pts=point_inputs is not None)
+            current_out["maskmem_features"] = maskmem_features.astype(
+                jnp.bfloat16)
+        return current_out, low_res_masks
+
+    def _run_memory_encoder(self, state, frame_idx, batch_size,
+                            high_res_masks, object_score_logits,
+                            is_mask_from_pts):
+        feats = self._get_image_feature(state, frame_idx, batch_size)
+        maskmem_features, _ = self._encode_mem_jit(
+            feats[-1], high_res_masks, object_score_logits,
+            is_pts=is_mask_from_pts)
+        return maskmem_features.astype(jnp.bfloat16)
+
+    def _get_empty_mask_ptr(self, state, frame_idx):
+        """Dummy pointer from an empty mask (reference :556-590)."""
+        feats = self._get_image_feature(state, frame_idx, 1)
+        mask_inputs = jnp.zeros((1, self.image_size, self.image_size, 1),
+                                jnp.float32)
+        outs = self._mask_as_output_jit(feats, mask_inputs)
+        return outs[5]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def add_new_points_or_box(self, state, frame_idx, obj_id, points=None,
+                              labels=None, clear_old_points=True,
+                              normalize_coords=True, box=None):
+        """Reference :173-314 parity."""
+        obj_idx = self._obj_id_to_idx(state, obj_id)
+        point_inputs_per_frame = state["point_inputs_per_obj"][obj_idx]
+        mask_inputs_per_frame = state["mask_inputs_per_obj"][obj_idx]
+
+        if (points is not None) != (labels is not None):
+            raise ValueError("points and labels must be provided together")
+        if points is None and box is None:
+            raise ValueError(
+                "at least one of points or box must be provided as input")
+        points = (np.zeros((0, 2), np.float32) if points is None
+                  else np.asarray(points, np.float32))
+        labels = (np.zeros((0,), np.int32) if labels is None
+                  else np.asarray(labels, np.int32))
+        if points.ndim == 2:
+            points = points[None]
+        if labels.ndim == 1:
+            labels = labels[None]
+        if box is not None:
+            if not clear_old_points:
+                raise ValueError(
+                    "cannot add box without clearing old points")
+            box = np.asarray(box, np.float32).reshape(1, 2, 2)
+            box_labels = np.asarray([[2, 3]], np.int32)
+            points = np.concatenate([box, points], axis=1)
+            labels = np.concatenate([box_labels, labels], axis=1)
+        if normalize_coords:
+            points = points / np.asarray(
+                [state["video_width"], state["video_height"]], np.float32)
+        points = points * self.image_size
+
+        if not clear_old_points:
+            old = point_inputs_per_frame.get(frame_idx)
+            if old is not None:
+                points = np.concatenate([old["point_coords"], points], axis=1)
+                labels = np.concatenate([old["point_labels"], labels], axis=1)
+        point_inputs = {"point_coords": points, "point_labels": labels}
+        point_inputs_per_frame[frame_idx] = point_inputs
+        mask_inputs_per_frame.pop(frame_idx, None)
+
+        is_init_cond_frame = frame_idx not in state["frames_already_tracked"]
+        reverse = (False if is_init_cond_frame
+                   else state["frames_already_tracked"][frame_idx]["reverse"])
+        obj_output_dict = state["output_dict_per_obj"][obj_idx]
+        obj_temp = state["temp_output_dict_per_obj"][obj_idx]
+        is_cond = is_init_cond_frame or self.add_all_frames_to_correct_as_cond
+        storage_key = ("cond_frame_outputs" if is_cond
+                       else "non_cond_frame_outputs")
+
+        prev_sam_mask_logits = None
+        prev_out = obj_temp[storage_key].get(frame_idx)
+        if prev_out is None:
+            prev_out = obj_output_dict["cond_frame_outputs"].get(frame_idx)
+        if prev_out is None:
+            prev_out = obj_output_dict["non_cond_frame_outputs"].get(frame_idx)
+        if prev_out is not None and prev_out["pred_masks"] is not None:
+            prev_sam_mask_logits = jnp.clip(
+                jnp.asarray(prev_out["pred_masks"]), -32.0, 32.0)
+
+        current_out, _ = self._run_single_frame_inference(
+            state, obj_output_dict, frame_idx, 1, is_init_cond_frame,
+            point_inputs, None, reverse, run_mem_encoder=False,
+            prev_sam_mask_logits=prev_sam_mask_logits)
+        obj_temp[storage_key][frame_idx] = current_out
+
+        obj_ids = state["obj_ids"]
+        consolidated = self._consolidate_temp_output_across_obj(
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False,
+            consolidate_at_video_res=True)
+        _, video_res_masks = self._get_orig_video_res_output(
+            state, consolidated["pred_masks_video_res"])
+        return frame_idx, obj_ids, video_res_masks
+
+    add_new_points = add_new_points_or_box
+
+    def add_new_mask(self, state, frame_idx, obj_id, mask):
+        """Reference :321-402 parity. mask: [H, W] bool/float."""
+        obj_idx = self._obj_id_to_idx(state, obj_id)
+        mask = np.asarray(mask)
+        assert mask.ndim == 2
+        mask_f = mask.astype(np.float32)[None, ..., None]  # [1, H, W, 1]
+        if mask.shape != (self.image_size, self.image_size):
+            m = interpolate_hw(jnp.asarray(mask_f[..., 0]),
+                               (self.image_size, self.image_size), "bilinear",
+                               antialias=True)
+            mask_inputs = (np.asarray(m) >= 0.5).astype(np.float32)[..., None]
+        else:
+            mask_inputs = mask_f
+        state["mask_inputs_per_obj"][obj_idx][frame_idx] = mask_inputs
+        state["point_inputs_per_obj"][obj_idx].pop(frame_idx, None)
+
+        is_init_cond_frame = frame_idx not in state["frames_already_tracked"]
+        reverse = (False if is_init_cond_frame
+                   else state["frames_already_tracked"][frame_idx]["reverse"])
+        obj_output_dict = state["output_dict_per_obj"][obj_idx]
+        obj_temp = state["temp_output_dict_per_obj"][obj_idx]
+        is_cond = is_init_cond_frame or self.add_all_frames_to_correct_as_cond
+        storage_key = ("cond_frame_outputs" if is_cond
+                       else "non_cond_frame_outputs")
+
+        current_out, _ = self._run_single_frame_inference(
+            state, obj_output_dict, frame_idx, 1, is_init_cond_frame, None,
+            jnp.asarray(mask_inputs), reverse, run_mem_encoder=False)
+        obj_temp[storage_key][frame_idx] = current_out
+
+        obj_ids = state["obj_ids"]
+        consolidated = self._consolidate_temp_output_across_obj(
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False,
+            consolidate_at_video_res=True)
+        _, video_res_masks = self._get_orig_video_res_output(
+            state, consolidated["pred_masks_video_res"])
+        return frame_idx, obj_ids, video_res_masks
+
+    def _get_orig_video_res_output(self, state, any_res_masks):
+        h, w = state["video_height"], state["video_width"]
+        if any_res_masks.shape[-2:] == (h, w):
+            video_res = any_res_masks
+        else:
+            video_res = interpolate_hw(jnp.asarray(any_res_masks), (h, w),
+                                       "bilinear")
+        if self.non_overlap_masks:
+            video_res = base.apply_non_overlapping_constraints(video_res)
+        return any_res_masks, np.asarray(video_res)
+
+    def _consolidate_temp_output_across_obj(self, state, frame_idx, is_cond,
+                                            run_mem_encoder,
+                                            consolidate_at_video_res=False):
+        """Reference :426-554 parity."""
+        batch_size = self._get_obj_num(state)
+        storage_key = ("cond_frame_outputs" if is_cond
+                       else "non_cond_frame_outputs")
+        if consolidate_at_video_res:
+            assert not run_mem_encoder
+            ch, cw = state["video_height"], state["video_width"]
+            mask_key = "pred_masks_video_res"
+        else:
+            ch = cw = self.image_size // 4
+            mask_key = "pred_masks"
+
+        consolidated = {
+            "maskmem_features": None,
+            "maskmem_pos_enc": None,
+            mask_key: np.full((batch_size, 1, ch, cw), NO_OBJ_SCORE,
+                              np.float32),
+            "obj_ptr": np.full((batch_size, self.hidden_dim), NO_OBJ_SCORE,
+                               np.float32),
+            "object_score_logits": np.full((batch_size, 1), 10.0, np.float32),
+        }
+        empty_mask_ptr = None
+        for obj_idx in range(batch_size):
+            obj_temp = state["temp_output_dict_per_obj"][obj_idx]
+            obj_out_dict = state["output_dict_per_obj"][obj_idx]
+            out = obj_temp[storage_key].get(frame_idx)
+            if out is None:
+                out = obj_out_dict["cond_frame_outputs"].get(frame_idx)
+            if out is None:
+                out = obj_out_dict["non_cond_frame_outputs"].get(frame_idx)
+            if out is None:
+                if run_mem_encoder:
+                    if empty_mask_ptr is None:
+                        empty_mask_ptr = np.asarray(
+                            self._get_empty_mask_ptr(state, frame_idx))
+                    consolidated["obj_ptr"][obj_idx:obj_idx + 1] = \
+                        empty_mask_ptr
+                continue
+            obj_mask = np.asarray(out["pred_masks"], np.float32)
+            if obj_mask.shape[-2:] != (ch, cw):
+                obj_mask = np.asarray(interpolate_hw(
+                    jnp.asarray(obj_mask), (ch, cw), "bilinear"))
+            consolidated[mask_key][obj_idx:obj_idx + 1] = obj_mask
+            consolidated["obj_ptr"][obj_idx:obj_idx + 1] = np.asarray(
+                out["obj_ptr"], np.float32)
+            consolidated["object_score_logits"][obj_idx:obj_idx + 1] = \
+                np.asarray(out["object_score_logits"], np.float32)
+
+        if run_mem_encoder:
+            high_res = interpolate_hw(
+                jnp.asarray(consolidated["pred_masks"]),
+                (self.image_size, self.image_size), "bilinear")
+            if self.cfg.non_overlap_masks_for_mem_enc:
+                high_res = base.apply_non_overlapping_constraints(high_res)
+            maskmem_features = self._run_memory_encoder(
+                state, frame_idx, batch_size, high_res,
+                jnp.asarray(consolidated["object_score_logits"]),
+                is_mask_from_pts=True)
+            consolidated["maskmem_features"] = maskmem_features
+        return consolidated
+
+    def propagate_in_video_preflight(self, state):
+        """Reference :592-660 parity."""
+        state["tracking_has_started"] = True
+        batch_size = self._get_obj_num(state)
+        temp_per_obj = state["temp_output_dict_per_obj"]
+        output_dict = state["output_dict"]
+        consolidated_inds = state["consolidated_frame_inds"]
+        for is_cond in (False, True):
+            storage_key = ("cond_frame_outputs" if is_cond
+                           else "non_cond_frame_outputs")
+            temp_frame_inds = set()
+            for obj_temp in temp_per_obj.values():
+                temp_frame_inds.update(obj_temp[storage_key].keys())
+            consolidated_inds[storage_key].update(temp_frame_inds)
+            for frame_idx in temp_frame_inds:
+                consolidated = self._consolidate_temp_output_across_obj(
+                    state, frame_idx, is_cond=is_cond, run_mem_encoder=True)
+                output_dict[storage_key][frame_idx] = consolidated
+                self._add_output_per_object(state, frame_idx, consolidated,
+                                            storage_key)
+                clear = (self.clear_non_cond_mem_around_input
+                         and (self.clear_non_cond_mem_for_multi_obj
+                              or batch_size <= 1))
+                if clear:
+                    self._clear_non_cond_mem_around_input(state, frame_idx)
+            for obj_temp in temp_per_obj.values():
+                obj_temp[storage_key].clear()
+
+        for frame_idx in output_dict["cond_frame_outputs"]:
+            output_dict["non_cond_frame_outputs"].pop(frame_idx, None)
+        for obj_out in state["output_dict_per_obj"].values():
+            for frame_idx in obj_out["cond_frame_outputs"]:
+                obj_out["non_cond_frame_outputs"].pop(frame_idx, None)
+        for frame_idx in consolidated_inds["cond_frame_outputs"]:
+            assert frame_idx in output_dict["cond_frame_outputs"]
+            consolidated_inds["non_cond_frame_outputs"].discard(frame_idx)
+
+    def propagate_in_video(self, state, start_frame_idx=None,
+                           max_frame_num_to_track=None, reverse=False):
+        """Reference :662-745 parity. Yields (frame_idx, obj_ids,
+        video_res_masks [B, 1, H, W] numpy)."""
+        self.propagate_in_video_preflight(state)
+        output_dict = state["output_dict"]
+        consolidated_inds = state["consolidated_frame_inds"]
+        obj_ids = state["obj_ids"]
+        num_frames = state["num_frames"]
+        batch_size = self._get_obj_num(state)
+        if len(output_dict["cond_frame_outputs"]) == 0:
+            raise RuntimeError("No points are provided; please add points first")
+        clear = (self.clear_non_cond_mem_around_input
+                 and (self.clear_non_cond_mem_for_multi_obj
+                      or batch_size <= 1))
+        if start_frame_idx is None:
+            start_frame_idx = min(output_dict["cond_frame_outputs"])
+        if max_frame_num_to_track is None:
+            max_frame_num_to_track = num_frames
+        if reverse:
+            end_frame_idx = max(start_frame_idx - max_frame_num_to_track, 0)
+            processing_order = (range(start_frame_idx, end_frame_idx - 1, -1)
+                                if start_frame_idx > 0 else [])
+        else:
+            end_frame_idx = min(start_frame_idx + max_frame_num_to_track,
+                                num_frames - 1)
+            processing_order = range(start_frame_idx, end_frame_idx + 1)
+
+        for frame_idx in processing_order:
+            if frame_idx in consolidated_inds["cond_frame_outputs"]:
+                storage_key = "cond_frame_outputs"
+                current_out = output_dict[storage_key][frame_idx]
+                pred_masks = current_out["pred_masks"]
+                if clear:
+                    self._clear_non_cond_mem_around_input(state, frame_idx)
+            elif frame_idx in consolidated_inds["non_cond_frame_outputs"]:
+                storage_key = "non_cond_frame_outputs"
+                current_out = output_dict[storage_key][frame_idx]
+                pred_masks = current_out["pred_masks"]
+            else:
+                storage_key = "non_cond_frame_outputs"
+                current_out, pred_masks = self._run_single_frame_inference(
+                    state, output_dict, frame_idx, batch_size,
+                    is_init_cond_frame=False, point_inputs=None,
+                    mask_inputs=None, reverse=reverse, run_mem_encoder=True)
+                output_dict[storage_key][frame_idx] = current_out
+            self._add_output_per_object(state, frame_idx, current_out,
+                                        storage_key)
+            state["frames_already_tracked"][frame_idx] = {"reverse": reverse}
+            _, video_res_masks = self._get_orig_video_res_output(
+                state, np.asarray(pred_masks, np.float32))
+            yield frame_idx, obj_ids, video_res_masks
+
+    def _add_output_per_object(self, state, frame_idx, current_out,
+                               storage_key):
+        maskmem_features = current_out["maskmem_features"]
+        for obj_idx, obj_out_dict in state["output_dict_per_obj"].items():
+            sl = slice(obj_idx, obj_idx + 1)
+            obj_out = {
+                "maskmem_features": None,
+                "maskmem_pos_enc": None,
+                "pred_masks": np.asarray(current_out["pred_masks"])[sl],
+                "obj_ptr": np.asarray(current_out["obj_ptr"])[sl],
+                "object_score_logits": np.asarray(
+                    current_out["object_score_logits"])[sl],
+            }
+            if maskmem_features is not None:
+                obj_out["maskmem_features"] = np.asarray(
+                    maskmem_features, np.float32)[sl]
+            obj_out_dict[storage_key][frame_idx] = obj_out
+
+    def clear_all_prompts_in_frame(self, state, frame_idx, obj_id,
+                                   need_output=True):
+        """Reference :776-846 parity (simplified re-consolidation)."""
+        obj_idx = self._obj_id_to_idx(state, obj_id)
+        state["point_inputs_per_obj"][obj_idx].pop(frame_idx, None)
+        state["mask_inputs_per_obj"][obj_idx].pop(frame_idx, None)
+        temp = state["temp_output_dict_per_obj"][obj_idx]
+        temp["cond_frame_outputs"].pop(frame_idx, None)
+        temp["non_cond_frame_outputs"].pop(frame_idx, None)
+        batch_size = self._get_obj_num(state)
+        frame_has_input = any(
+            frame_idx in state["point_inputs_per_obj"][i]
+            or frame_idx in state["mask_inputs_per_obj"][i]
+            for i in range(batch_size))
+        if not frame_has_input:
+            output_dict = state["output_dict"]
+            state["consolidated_frame_inds"]["cond_frame_outputs"].discard(
+                frame_idx)
+            state["consolidated_frame_inds"]["non_cond_frame_outputs"].discard(
+                frame_idx)
+            out = output_dict["cond_frame_outputs"].pop(frame_idx, None)
+            if out is not None:
+                output_dict["non_cond_frame_outputs"][frame_idx] = out
+            for obj_out in state["output_dict_per_obj"].values():
+                o = obj_out["cond_frame_outputs"].pop(frame_idx, None)
+                if o is not None:
+                    obj_out["non_cond_frame_outputs"][frame_idx] = o
+        if not need_output:
+            return
+        obj_ids = state["obj_ids"]
+        is_cond = any(
+            frame_idx in obj_temp["cond_frame_outputs"]
+            for obj_temp in state["temp_output_dict_per_obj"].values())
+        consolidated = self._consolidate_temp_output_across_obj(
+            state, frame_idx, is_cond=is_cond, run_mem_encoder=False,
+            consolidate_at_video_res=True)
+        _, video_res_masks = self._get_orig_video_res_output(
+            state, consolidated["pred_masks_video_res"])
+        return frame_idx, obj_ids, video_res_masks
+
+    def remove_object(self, state, obj_id, strict=False, need_output=True):
+        """Reference :1041-1153 parity."""
+        old_obj_idx = state["obj_id_to_idx"].get(obj_id)
+        updated_frames = []
+        if old_obj_idx is None:
+            if strict:
+                raise RuntimeError(
+                    f"Cannot remove object id {obj_id} as it doesn't exist.")
+            return state["obj_ids"], updated_frames
+
+        if len(state["obj_id_to_idx"]) == 1:
+            self.reset_state(state)
+            return state["obj_ids"], updated_frames
+
+        obj_input_frames = set(
+            state["point_inputs_per_obj"][old_obj_idx]) | set(
+            state["mask_inputs_per_obj"][old_obj_idx])
+        for frame_idx in obj_input_frames:
+            self.clear_all_prompts_in_frame(state, frame_idx, obj_id,
+                                            need_output=False)
+
+        old_to_new = {}
+        remain = [i for i in range(len(state["obj_id_to_idx"]))
+                  if i != old_obj_idx]
+        for new_idx, old_idx in enumerate(remain):
+            old_to_new[old_idx] = new_idx
+
+        def remap(container):
+            return {old_to_new[k]: v for k, v in container.items()
+                    if k in old_to_new}
+
+        state["obj_id_to_idx"] = OrderedDict(
+            (self._obj_idx_to_id(state, old), new)
+            for old, new in old_to_new.items())
+        state["obj_idx_to_id"] = OrderedDict(
+            (new, oid) for oid, new in state["obj_id_to_idx"].items())
+        state["obj_ids"] = list(state["obj_id_to_idx"])
+        state["point_inputs_per_obj"] = remap(state["point_inputs_per_obj"])
+        state["mask_inputs_per_obj"] = remap(state["mask_inputs_per_obj"])
+        state["output_dict_per_obj"] = remap(state["output_dict_per_obj"])
+        state["temp_output_dict_per_obj"] = remap(
+            state["temp_output_dict_per_obj"])
+
+        def slice_batched(output_dict):
+            keep = sorted(old_to_new.keys())
+            for frame_outs in (output_dict["cond_frame_outputs"],
+                               output_dict["non_cond_frame_outputs"]):
+                for frame_idx, out in frame_outs.items():
+                    for k in ("maskmem_features", "pred_masks", "obj_ptr",
+                              "object_score_logits"):
+                        if out.get(k) is not None:
+                            out[k] = np.asarray(out[k])[keep]
+                    updated_frames.append(frame_idx)
+
+        slice_batched(state["output_dict"])
+        return state["obj_ids"], sorted(set(updated_frames))
+
+    def _clear_non_cond_mem_around_input(self, state, frame_idx):
+        """Reference :1155+ parity."""
+        r = self.cfg.memory_temporal_stride_for_eval
+        frame_idx_begin = frame_idx - r * self.cfg.num_maskmem
+        frame_idx_end = frame_idx + r * self.cfg.num_maskmem
+        output_dict = state["output_dict"]
+        non_cond = output_dict["non_cond_frame_outputs"]
+        for t in range(frame_idx_begin, frame_idx_end + 1):
+            non_cond.pop(t, None)
+            for obj_out in state["output_dict_per_obj"].values():
+                obj_out["non_cond_frame_outputs"].pop(t, None)

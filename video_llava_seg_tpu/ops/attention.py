@@ -43,8 +43,12 @@ def _ceil_to(x: int, m: int) -> int:
 
 def attention_reference(q, k, v, *, causal: bool = False,
                         scale: Optional[float] = None,
-                        kv_valid_len: Optional[int] = None):
-    """Plain softmax attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D]."""
+                        kv_valid_len: Optional[int] = None,
+                        kv_mask=None):
+    """Plain softmax attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
+
+    kv_mask: optional bool [B, Skv]; False keys are masked out (fixed-slot
+    memory banks with invalid slots)."""
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
     assert Hq % Hkv == 0, (Hq, Hkv)
@@ -63,6 +67,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
     if kv_valid_len is not None:
         ki = jnp.arange(Skv)[None, None, None, :]
         s = jnp.where(ki < kv_valid_len, s, _MASK_VALUE)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, _MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
@@ -209,8 +215,12 @@ def _on_tpu() -> bool:
 
 
 def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
-              backend: str = "auto", interpret: bool = False):
+              backend: str = "auto", interpret: bool = False, kv_mask=None):
     """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere."""
+    if kv_mask is not None:
+        # masked variant currently served by the XLA path
+        return attention_reference(q, k, v, causal=causal, scale=scale,
+                                   kv_mask=kv_mask)
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
