@@ -1,0 +1,256 @@
+"""Llama-3-shaped decoder LLM, TPU-native.
+
+Functional GQA transformer with RMSNorm, SwiGLU, RoPE(theta=500k), a
+preallocated static-shape KV cache, and a `lax.while_loop` greedy decode that
+captures post-final-norm hidden states of emitted tokens (so [SEG]-token
+extraction — llava/model/language_model/llava_llama.py:184-199 — is a gather
+at the end instead of HF's per-step output_hidden_states).
+
+Sharding: parameters follow parallel/mesh.py rules (wq/wk/wv/gate/up sharded
+on the output dim over 'model', wo/down on the input dim, embeddings/lm_head
+on vocab); activations inherit shardings via pjit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_seg_tpu.config import LlamaConfig
+from video_llava_seg_tpu.ops import nn
+from video_llava_seg_tpu.ops.attention import attention, attention_reference
+from video_llava_seg_tpu.ops.rope import apply_rope_1d, rope_1d_cos_sin
+
+
+def init(key, cfg: LlamaConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    d = cfg.hidden_size
+    kv_dim = cfg.num_kv_heads * cfg.head_dim
+    q_dim = cfg.num_heads * cfg.head_dim
+    p = {
+        "embed_tokens": nn.embedding_init(keys[0], cfg.vocab_size, d, dtype),
+        "layers": [],
+        "norm": nn.rms_norm_init(d, dtype),
+    }
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[i + 2], 7)
+        p["layers"].append({
+            "input_layernorm": nn.rms_norm_init(d, dtype),
+            "attn": {
+                "wq": nn.dense_init(k[0], d, q_dim, bias=False, dtype=dtype),
+                "wk": nn.dense_init(k[1], d, kv_dim, bias=False, dtype=dtype),
+                "wv": nn.dense_init(k[2], d, kv_dim, bias=False, dtype=dtype),
+                "wo": nn.dense_init(k[3], q_dim, d, bias=False, dtype=dtype),
+            },
+            "post_attention_layernorm": nn.rms_norm_init(d, dtype),
+            "mlp": {
+                "w_gate": nn.dense_init(k[4], d, cfg.intermediate_size,
+                                        bias=False, dtype=dtype),
+                "w_up": nn.dense_init(k[5], d, cfg.intermediate_size,
+                                      bias=False, dtype=dtype),
+                "w_down": nn.dense_init(k[6], cfg.intermediate_size, d,
+                                        bias=False, dtype=dtype),
+            },
+        })
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = nn.dense_init(keys[1], d, cfg.vocab_size, bias=False,
+                                     dtype=dtype)
+    return p
+
+
+def embed(params, ids):
+    return nn.embedding_lookup(params["embed_tokens"], ids)
+
+
+def unembed(params, cfg: LlamaConfig, h):
+    if cfg.tie_word_embeddings:
+        w = params["embed_tokens"]["embedding"].astype(h.dtype)
+        return jnp.dot(h, w.T, preferred_element_type=jnp.float32)
+    return jnp.dot(h, params["lm_head"]["kernel"].astype(h.dtype),
+                   preferred_element_type=jnp.float32)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, Hkv, max_len, hd]
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
+                cache_kv=None, cache_len=None, kv_mask=None,
+                interpret: bool = False):
+    """Returns (out, (k, v)) where k/v are this block's new keys/values."""
+    b, s, d = x.shape
+    q = nn.dense(layer["attn"]["wq"], x).reshape(
+        b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = nn.dense(layer["attn"]["wk"], x).reshape(
+        b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = nn.dense(layer["attn"]["wv"], x).reshape(
+        b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = apply_rope_1d(q, cos, sin)
+    k = apply_rope_1d(k, cos, sin)
+
+    if cache_kv is None:
+        o = attention(q, k.astype(q.dtype), v.astype(q.dtype), causal=causal,
+                      kv_mask=kv_mask, interpret=interpret)
+        new_kv = (k, v)
+    else:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
+        valid = cache_len + s
+        o = attention_reference(q, ck.astype(q.dtype), cv.astype(q.dtype),
+                                kv_valid_len=valid)
+        new_kv = (ck, cv)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
+    return nn.dense(layer["attn"]["wo"], o), new_kv
+
+
+def _mlp_block(layer, x):
+    g = nn.dense(layer["mlp"]["w_gate"], x)
+    u = nn.dense(layer["mlp"]["w_up"], x)
+    return nn.dense(layer["mlp"]["w_down"], jax.nn.silu(g) * u)
+
+
+def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
+            attn_mask=None, interpret: bool = False):
+    """Full forward (training / prefill without cache).
+
+    inputs_embeds: [B, S, D]; position_ids: [B, S] or [S];
+    attn_mask: optional [B, S] bool (right padding can omit it).
+
+    Returns (logits fp32 [B, S, V], hidden_states post-norm [B, S, D])."""
+    x = inputs_embeds
+    if position_ids.ndim == 1:
+        position_ids = position_ids[None]
+    cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    for layer in params["layers"]:
+        h = nn.rms_norm(layer["input_layernorm"], x, cfg.rms_norm_eps)
+        a, _ = _attn_block(layer, cfg, h, cos, sin, causal=True,
+                           kv_mask=attn_mask, interpret=interpret)
+        x = x + a
+        h = nn.rms_norm(layer["post_attention_layernorm"], x,
+                        cfg.rms_norm_eps)
+        x = x + _mlp_block(layer, h)
+    x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    logits = unembed(params, cfg, x)
+    return logits, x
+
+
+def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
+            cache: KVCache, interpret: bool = False):
+    """Prefill the KV cache. Returns (logits [B,S,V], hidden [B,S,D], cache)."""
+    x = inputs_embeds
+    if position_ids.ndim == 1:
+        position_ids = position_ids[None]
+    cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    s = x.shape[1]
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = nn.rms_norm(layer["input_layernorm"], x, cfg.rms_norm_eps)
+        a, (k, v) = _attn_block(layer, cfg, h, cos, sin, causal=True,
+                                interpret=interpret)
+        new_k.append(jax.lax.dynamic_update_slice(
+            cache.k[li], k.astype(cache.k.dtype), (0, 0, 0, 0)))
+        new_v.append(jax.lax.dynamic_update_slice(
+            cache.v[li], v.astype(cache.v.dtype), (0, 0, 0, 0)))
+        x = x + a
+        h = nn.rms_norm(layer["post_attention_layernorm"], x,
+                        cfg.rms_norm_eps)
+        x = x + _mlp_block(layer, h)
+    x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    logits = unembed(params, cfg, x)
+    cache = KVCache(jnp.stack(new_k), jnp.stack(new_v),
+                    jnp.asarray(s, jnp.int32))
+    return logits, x, cache
+
+
+def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
+                interpret: bool = False):
+    """One decode step. token_embeds: [B, 1, D].
+
+    Returns (logits [B, 1, V], hidden [B, 1, D], cache)."""
+    x = token_embeds
+    pos = cache.length[None, None]  # [1,1]
+    cos, sin = rope_1d_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = nn.rms_norm(layer["input_layernorm"], x, cfg.rms_norm_eps)
+        a, (ck, cv) = _attn_block(
+            layer, cfg, h, cos, sin, causal=False,
+            cache_kv=(cache.k[li], cache.v[li]), cache_len=cache.length,
+            interpret=interpret)
+        new_k.append(ck)
+        new_v.append(cv)
+        x = x + a
+        h = nn.rms_norm(layer["post_attention_layernorm"], x,
+                        cfg.rms_norm_eps)
+        x = x + _mlp_block(layer, h)
+    x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    logits = unembed(params, cfg, x)
+    cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + 1)
+    return logits, x, cache
+
+
+def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
+                    max_new_tokens: int, eos_token_ids: Tuple[int, ...],
+                    interpret: bool = False):
+    """Greedy decode under jit: prefill + while_loop decode.
+
+    inputs_embeds: [B, S, D] (B=1 supported path, matching the reference's
+    batch-1 inference assert at llava_llama.py:313).
+
+    Returns (tokens [B, max_new_tokens] int32 — padded with eos after stop,
+    hidden [B, max_new_tokens, D] — post-norm hidden state of each emitted
+    token, num_generated scalar)."""
+    b, s, d = inputs_embeds.shape
+    max_len = s + max_new_tokens
+    cache = init_kv_cache(cfg, b, max_len, dtype=inputs_embeds.dtype)
+    pos = jnp.arange(s)[None]
+    logits, hidden, cache = prefill(params, cfg, inputs_embeds, pos, cache,
+                                    interpret)
+    first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+
+    eos = jnp.asarray(eos_token_ids, jnp.int32)
+
+    tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
+    hidden0 = jnp.zeros((b, max_new_tokens, d), inputs_embeds.dtype)
+
+    def cond(state):
+        i, tok, done, *_ = state
+        return jnp.logical_and(i < max_new_tokens, jnp.logical_not(done))
+
+    def body(state):
+        i, tok, done, tokens, hiddens, cache = state
+        tokens = tokens.at[:, i].set(tok)
+        emb = embed(params, tok[:, None]).astype(inputs_embeds.dtype)
+        logits, h, cache = decode_step(params, cfg, emb, cache, interpret)
+        # h is the hidden that PRODUCES token i+1 (reference convention:
+        # output_embeds[:, j] pairs with output_ids[:, j] where the embed is
+        # the state that emitted the token — llava_llama.py:186-190)
+        hiddens = jax.lax.dynamic_update_slice(
+            hiddens, h.astype(hiddens.dtype), (0, i + 1, 0))
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        done = jnp.any(jnp.isin(tok, eos))
+        return i + 1, nxt, done, tokens, hiddens, cache
+
+    # hiddens[0] = prefill's last-position hidden (it produced first_tok)
+    hidden0 = hidden0.at[:, 0].set(hidden[:, -1].astype(hidden0.dtype))
+    # one extra slot absorbs the final dynamic_update_slice at i = max-1
+    hidden0 = jnp.pad(hidden0, ((0, 0), (0, 1), (0, 0)))
+    state = (jnp.int32(0), first_tok, jnp.bool_(False), tokens0, hidden0,
+             cache)
+    i, tok, done, tokens, hiddens, cache = jax.lax.while_loop(cond, body,
+                                                              state)
+    return tokens, hiddens[:, :max_new_tokens], i

@@ -1,0 +1,145 @@
+"""ViT vision towers (CLIP-shaped and RADIO-shaped), TPU-native.
+
+Capability parity with llava/model/multimodal_encoder/clip_encoder.py
+(HF CLIPVisionModel tap at `select_layer`, CLS drop for 'patch', bicubic
+position-embedding resize with align_corners=True at non-native image sizes,
+[B, T, C, H, W] video batches flattened through the tower) and
+radio_encoder.py (RADIO-shaped: no CLS token, per-variant hidden sizes).
+
+All T frames of a clip batch through the tower in one call — the [B*T] flatten
+is the only reshape, everything else is batched matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from video_llava_seg_tpu.config import VisionTowerConfig
+from video_llava_seg_tpu.ops import nn
+from video_llava_seg_tpu.ops.attention import attention
+from video_llava_seg_tpu.ops.resize import interpolate
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def init(key, cfg: VisionTowerConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers + 4)
+    d = cfg.hidden_size
+    num_pos = cfg.num_patches + (1 if cfg.use_cls_token else 0)
+    p = {
+        "patch_embedding": nn.conv2d_init(
+            keys[0], 3, d, (cfg.patch_size, cfg.patch_size), bias=False,
+            dtype=dtype),
+        "position_embedding": nn.trunc_normal(keys[1], (num_pos, d), 0.02,
+                                              dtype),
+        "pre_layrnorm": nn.layer_norm_init(d, dtype),
+        "layers": [],
+    }
+    if cfg.use_cls_token:
+        p["class_embedding"] = nn.trunc_normal(keys[2], (d,), 0.02, dtype)
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[i + 3], 6)
+        p["layers"].append({
+            "layer_norm1": nn.layer_norm_init(d, dtype),
+            "q_proj": nn.dense_init(k[0], d, d, dtype=dtype),
+            "k_proj": nn.dense_init(k[1], d, d, dtype=dtype),
+            "v_proj": nn.dense_init(k[2], d, d, dtype=dtype),
+            "out_proj": nn.dense_init(k[3], d, d, dtype=dtype),
+            "layer_norm2": nn.layer_norm_init(d, dtype),
+            "fc1": nn.dense_init(k[4], d, cfg.intermediate_size, dtype=dtype),
+            "fc2": nn.dense_init(k[5], cfg.intermediate_size, d, dtype=dtype),
+        })
+    p["post_layernorm"] = nn.layer_norm_init(d, dtype)
+    return p
+
+
+def resize_position_embedding(params, cfg: VisionTowerConfig,
+                              native_size: int):
+    """Bicubic align_corners=True spatial resize of the position table
+    (clip_encoder.py:50-74) when cfg.image_size != the checkpoint's native
+    size. Returns updated params."""
+    if cfg.image_size == native_size:
+        return params
+    pe = params["position_embedding"]
+    n_old = native_size // cfg.patch_size
+    n_new = cfg.num_patches_per_side
+    if cfg.use_cls_token:
+        cls_embed, spatial = pe[:1], pe[1:]
+    else:
+        cls_embed, spatial = None, pe
+    spatial = spatial.reshape(n_old, n_old, -1)
+    spatial = interpolate(spatial, (n_new, n_new), "bicubic",
+                          align_corners=True)
+    spatial = spatial.reshape(n_new * n_new, -1)
+    new_pe = (jnp.concatenate([cls_embed, spatial], axis=0)
+              if cls_embed is not None else spatial)
+    out = dict(params)
+    out["position_embedding"] = new_pe
+    return out
+
+
+def _encoder_layer(p, x, num_heads: int, eps: float, act,
+                   interpret: bool = False):
+    residual = x
+    h = nn.layer_norm(p["layer_norm1"], x, eps)
+    b, n, d = h.shape
+    hd = d // num_heads
+    # CLIP scales q by 1/sqrt(hd) inside q_proj path; standard SDPA scale
+    q = nn.dense(p["q_proj"], h).reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    k = nn.dense(p["k_proj"], h).reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    v = nn.dense(p["v_proj"], h).reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)
+    o = attention(q, k, v, backend="auto" if n >= 256 else "xla",
+                  interpret=interpret)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    x = residual + nn.dense(p["out_proj"], o)
+    residual = x
+    h = nn.layer_norm(p["layer_norm2"], x, eps)
+    h = nn.dense(p["fc2"], act(nn.dense(p["fc1"], h)))
+    return residual + h
+
+
+def apply(params, cfg: VisionTowerConfig, images, interpret: bool = False):
+    """images: [B, H, W, 3] (or [B, T, H, W, 3] video) normalized.
+
+    Returns features at `select_layer` with CLS handling per
+    `select_feature`: [B(, T), N_patches, hidden]."""
+    video = images.ndim == 5
+    if video:
+        b, t = images.shape[:2]
+        images = images.reshape(b * t, *images.shape[2:])
+
+    x = nn.conv2d(params["patch_embedding"], images,
+                  stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
+    bt, gh, gw, d = x.shape
+    x = x.reshape(bt, gh * gw, d)
+    if cfg.use_cls_token:
+        cls_tok = jnp.broadcast_to(
+            params["class_embedding"].reshape(1, 1, d).astype(x.dtype),
+            (bt, 1, d))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+    x = x + params["position_embedding"][None].astype(x.dtype)
+    if not cfg.is_radio:
+        x = nn.layer_norm(params["pre_layrnorm"], x, cfg.layernorm_eps)
+
+    act = quick_gelu if not cfg.is_radio else nn.gelu
+    # hidden_states[0] = embeddings; select_layer=-2 -> stop before last layer
+    n_run = cfg.num_layers + cfg.select_layer + 1 if cfg.select_layer < 0 \
+        else cfg.select_layer
+    n_run = max(0, min(n_run, cfg.num_layers))
+    for layer in params["layers"][:n_run]:
+        x = _encoder_layer(layer, x, cfg.num_heads, cfg.layernorm_eps, act,
+                           interpret)
+
+    if cfg.select_feature == "patch" and cfg.use_cls_token:
+        x = x[:, 1:]
+    elif cfg.select_feature not in ("patch", "cls_patch"):
+        raise ValueError(f"Unexpected select feature: {cfg.select_feature}")
+
+    if video:
+        x = x.reshape(b, t, *x.shape[1:])
+    return x

@@ -42,9 +42,8 @@ def _linear_kernel(x: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=256)
 def _resize_matrix(in_size: int, out_size: int, method: str,
-                   antialias: bool) -> np.ndarray:
-    """[out_size, in_size] weight matrix for 1-D torch-style interpolation
-    with align_corners=False (half-pixel centers)."""
+                   antialias: bool, align_corners: bool = False) -> np.ndarray:
+    """[out_size, in_size] weight matrix for 1-D torch-style interpolation."""
     if method == "nearest":
         # torch legacy 'nearest': src = floor(dst * in/out)
         idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
@@ -78,7 +77,11 @@ def _resize_matrix(in_size: int, out_size: int, method: str,
         return m
 
     dst = np.arange(out_size, dtype=np.float64)
-    src = (dst + 0.5) * scale - 0.5
+    if align_corners:
+        ac_scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = dst * ac_scale
+    else:
+        src = (dst + 0.5) * scale - 0.5
     radius = int(np.ceil(support)) + 1
     base = np.floor(src).astype(np.int64)
     offsets = np.arange(-radius + 1, radius + 1)
@@ -93,7 +96,7 @@ def _resize_matrix(in_size: int, out_size: int, method: str,
 
 
 def _interp_axes(x, size: Tuple[int, int], method: str, antialias: bool,
-                 h_axis: int, w_axis: int):
+                 h_axis: int, w_axis: int, align_corners: bool = False):
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     out_h, out_w = size
     dtype = x.dtype
@@ -101,21 +104,23 @@ def _interp_axes(x, size: Tuple[int, int], method: str, antialias: bool,
         return x
     xf = x.astype(jnp.float32)
     if in_h != out_h:
-        mh = jnp.asarray(_resize_matrix(in_h, out_h, method, antialias))
+        mh = jnp.asarray(_resize_matrix(in_h, out_h, method, antialias,
+                                        align_corners))
         xf = jnp.tensordot(mh, xf, axes=((1,), (h_axis,)))
         xf = jnp.moveaxis(xf, 0, h_axis)
     if in_w != out_w:
-        mw = jnp.asarray(_resize_matrix(in_w, out_w, method, antialias))
+        mw = jnp.asarray(_resize_matrix(in_w, out_w, method, antialias,
+                                        align_corners))
         xf = jnp.tensordot(xf, mw, axes=((w_axis,), (1,)))
         xf = jnp.moveaxis(xf, -1, w_axis)
     return xf.astype(dtype)
 
 
 def interpolate(x, size: Tuple[int, int], method: str = "bilinear",
-                antialias: bool = False):
-    """Resize [..., H, W, C] (NHWC) with torch F.interpolate semantics
-    (align_corners=False)."""
-    return _interp_axes(x, size, method, antialias, x.ndim - 3, x.ndim - 2)
+                antialias: bool = False, align_corners: bool = False):
+    """Resize [..., H, W, C] (NHWC) with torch F.interpolate semantics."""
+    return _interp_axes(x, size, method, antialias, x.ndim - 3, x.ndim - 2,
+                        align_corners)
 
 
 def interpolate_hw(x, size: Tuple[int, int], method: str = "bilinear",
