@@ -5,14 +5,21 @@ modules import cleanly; we only instantiate modules with random weights to
 produce golden activations — no reference code is executed in the framework
 itself."""
 
+import importlib.machinery
 import sys
 import types
+
+
+def _stub(name):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
 
 
 def load_reference_sam2():
     for name in ["iopath", "iopath.common", "iopath.common.file_io",
                  "hydra", "hydra.core", "hydra.core.global_hydra"]:
-        sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules.setdefault(name, _stub(name))
     sys.modules["iopath.common.file_io"].g_pathmgr = None
     sys.modules["hydra"].initialize_config_module = lambda *a, **k: None
 
@@ -60,14 +67,22 @@ def load_reference_sam2():
             def forward(self, x):
                 return (x - self.mean) / self.std
 
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
+        tv = _stub("torchvision")
+        tvt = _stub("torchvision.transforms")
         tvt.ToTensor = ToTensor
         tvt.Resize = Resize
         tvt.Normalize = Normalize
         tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
+
+    # decord is unavailable; stub the two names the reference imports
+    if "decord" not in sys.modules:
+        dec = _stub("decord")
+        dec.VideoReader = object
+        dec.cpu = lambda *a, **k: None
+        dec.bridge = types.SimpleNamespace(set_bridge=lambda *a, **k: None)
+        sys.modules["decord"] = dec
 
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
