@@ -1,0 +1,123 @@
+"""Preprocessing parity vs the reference (template build + label masking),
+using a deterministic whitespace tokenizer that satisfies the HF subset both
+implementations consume."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+import re
+
+
+class ToyTokenizer:
+    """Llama-3-like toy tokenizer: BOS + whitespace words, with <|...|>
+    specials (and <image>) as atomic tokens. Satisfies the HF subset both
+    preprocessors consume."""
+
+    def __init__(self):
+        self.vocab = {"<bos>": 1, "<pad>": 0}
+        self.bos_token_id = 1
+        self.pad_token_id = 0
+        self.model_max_length = 4096
+        self.legacy = True
+        self._pat = re.compile(r"<\|[^|]+?\|>|<image>|[^\s<]+|<")
+
+    def _id(self, w):
+        if w not in self.vocab:
+            self.vocab[w] = len(self.vocab) + 10
+        return self.vocab[w]
+
+    def __call__(self, text, **kw):
+        ids = [self.bos_token_id] + [self._id(w)
+                                     for w in self._pat.findall(text)]
+
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = ids
+        return r
+
+
+CONV = [
+    {"from": "human", "value": "<video>\nDescribe the video."},
+    {"from": "gpt", "value": "A dog runs across the field ."},
+]
+
+
+def _load_reference():
+    from tests.reference_loader import load_reference_sam2
+    load_reference_sam2()
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import llava.train.preprocess as ref_pre
+    from llava import conversation as ref_conv
+    return ref_pre, ref_conv
+
+
+def test_preprocess_multimodal_layout():
+    from video_llava_seg_tpu.data.preprocess import (
+        PreprocessArgs,
+        preprocess_multimodal,
+    )
+    import copy
+    args = PreprocessArgs(num_frames=4, num_slow_frames=2)
+    out = preprocess_multimodal([copy.deepcopy(CONV)], args)
+    v = out[0][0]["value"]
+    assert v.count("<image>") == 6  # 2 slow + 4 fast
+    assert "<video>" not in v
+
+
+def test_llama3_masking_parity():
+    ref_pre, ref_conv = _load_reference()
+    from video_llava_seg_tpu.data.preprocess import (
+        PreprocessArgs,
+        preprocess,
+        preprocess_multimodal,
+    )
+    import copy
+
+    args = PreprocessArgs(num_frames=4, num_slow_frames=2)
+    mine_src = preprocess_multimodal([copy.deepcopy(CONV)], args)
+    tok = ToyTokenizer()
+    mine = preprocess(mine_src, tok, has_image=True,
+                      template="llava_llama_3")
+
+    # reference path with identical sources + template
+    class A:
+        is_multimodal = True
+        num_slow_frames = 2
+        num_frames = 4
+        mm_use_im_start_end = False
+        mm_use_sf_vid_separator_token = False
+
+    ref_conv.default_conversation = ref_conv.conv_templates["llava_llama_3"]
+    ref_pre.conversation_lib.default_conversation = \
+        ref_conv.conv_templates["llava_llama_3"]
+    ref_src = ref_pre.preprocess_multimodal([copy.deepcopy(CONV)], A())
+    tok2 = ToyTokenizer()
+    ref = ref_pre.preprocess_llama3(ref_src, tok2, has_image=True)
+
+    np.testing.assert_array_equal(mine["input_ids"][0],
+                                  ref["input_ids"][0].numpy())
+    np.testing.assert_array_equal(mine["labels"][0],
+                                  ref["labels"][0].numpy())
+    # some tokens are supervised (the answer), some masked (instruction)
+    lab = mine["labels"][0]
+    assert (lab == -100).any() and (lab != -100).any()
+
+
+def test_plain_template():
+    from video_llava_seg_tpu.data.preprocess import preprocess
+    tok = ToyTokenizer()
+    src = [[{"from": "human", "value": "<image><image>"},
+            {"from": "gpt", "value": "a caption here"}]]
+    out = preprocess(src, tok, has_image=True, template="plain")
+    ids = out["input_ids"][0]
+    lab = out["labels"][0]
+    assert (ids == -200).sum() == 2
+    # image part masked, caption supervised
+    assert (lab[:3] == -100).all()
+    assert (lab[-3:] != -100).all()

@@ -17,10 +17,9 @@ from video_llava_seg_tpu.ops import nn
 def init(key, cfg: ProjectorConfig, dtype=jnp.float32):
     t = cfg.projector_type
     if t == "identity":
-        return {"type": "identity"}
+        return {"layers": []}
     if t == "linear":
-        return {"type": "linear",
-                "layers": [nn.dense_init(key, cfg.mm_hidden_size,
+        return {"layers": [nn.dense_init(key, cfg.mm_hidden_size,
                                          cfg.hidden_size, dtype=dtype)]}
     m = re.match(r"^mlp(\d+)x_gelu$", t)
     if m:
@@ -31,12 +30,13 @@ def init(key, cfg: ProjectorConfig, dtype=jnp.float32):
         for i in range(1, depth):
             layers.append(nn.dense_init(keys[i], cfg.hidden_size,
                                         cfg.hidden_size, dtype=dtype))
-        return {"type": t, "layers": layers}
+        return {"layers": layers}
     raise ValueError(f"Unknown projector type: {t}")
 
 
 def apply(params, x):
-    if params["type"] == "identity":
+    # structure carries the type: no layers = identity, 1 = linear, N = mlp
+    if not params.get("layers"):
         return x
     out = nn.dense(params["layers"][0], x)
     for layer in params["layers"][1:]:
@@ -49,7 +49,7 @@ def convert_torch(sd, cfg: ProjectorConfig, prefix: str = "") -> dict:
     import numpy as np
     t = cfg.projector_type
     if t == "identity":
-        return {"type": "identity"}
+        return {"layers": []}
     layers = []
     idx = 0
     while f"{prefix}{idx}.weight" in sd:
@@ -58,4 +58,4 @@ def convert_torch(sd, cfg: ProjectorConfig, prefix: str = "") -> dict:
             "bias": jnp.asarray(np.asarray(sd[f"{prefix}{idx}.bias"])),
         })
         idx += 2  # GELU between linears
-    return {"type": t if layers else "identity", "layers": layers}
+    return {"layers": layers}

@@ -1,0 +1,89 @@
+"""Optimizer: per-component learning rates + decay/no-decay split.
+
+TPU-native equivalent of the reference trainer's 9 optimizer param groups
+(llava/train/llava_trainer.py:201-365): {llm, vision_tower, projector,
+seg_encoder, seg_decoder} x {decay, no_decay} via optax.multi_transform,
+with cosine schedule + warmup and frozen-component masking
+(train.py:492-534 freeze policy)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_llava_seg_tpu.config import TrainConfig
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(parts)
+
+
+def component_of(path: str) -> str:
+    if path.startswith("seg_head/image_encoder"):
+        return "seg_encoder"
+    if path.startswith("seg_head"):
+        return "seg_decoder"
+    if path.startswith("vision_tower"):
+        return "vision_tower"
+    if path.startswith("mm_projector"):
+        return "projector"
+    return "llm"
+
+
+def _no_decay(path: str, leaf) -> bool:
+    """Norms/biases/embedding-like 1-D params skip weight decay."""
+    return leaf.ndim <= 1 or "norm" in path or "bias" in path
+
+
+def param_labels(params):
+    def f(path, leaf):
+        p = _path_str(path)
+        return f"{component_of(p)}/{'nd' if _no_decay(p, leaf) else 'wd'}"
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def build_optimizer(cfg: TrainConfig, params):
+    """Returns an optax GradientTransformation over the full param tree."""
+    lrs = {
+        "llm": cfg.lrs.llm,
+        "vision_tower": cfg.lrs.vision_tower,
+        "projector": cfg.lrs.projector,
+        "seg_encoder": cfg.lrs.seg_encoder,
+        "seg_decoder": cfg.lrs.seg_decoder,
+    }
+    frozen = {
+        "llm": cfg.freeze_llm,
+        "vision_tower": cfg.freeze_vision_tower,
+        "projector": cfg.freeze_projector,
+        "seg_encoder": cfg.freeze_seg_encoder,
+        "seg_decoder": cfg.freeze_seg_decoder,
+    }
+    warmup = max(1, int(cfg.warmup_ratio * cfg.num_train_steps))
+
+    def make_sched(peak):
+        if cfg.lr_schedule == "cosine":
+            return optax.warmup_cosine_decay_schedule(
+                0.0, peak, warmup, cfg.num_train_steps)
+        return optax.linear_schedule(0.0, peak, warmup)
+
+    transforms: Dict[str, Any] = {}
+    for comp, peak in lrs.items():
+        for decay_key, wd in (("wd", cfg.lrs.weight_decay), ("nd", 0.0)):
+            label = f"{comp}/{decay_key}"
+            if frozen[comp]:
+                transforms[label] = optax.set_to_zero()
+            else:
+                transforms[label] = optax.chain(
+                    optax.clip_by_global_norm(cfg.max_grad_norm),
+                    optax.adamw(make_sched(peak), b1=cfg.adam_b1,
+                                b2=cfg.adam_b2, eps=cfg.adam_eps,
+                                weight_decay=wd))
+    labels = param_labels(params)
+    return optax.multi_transform(transforms, labels)
