@@ -49,18 +49,20 @@ def main():
         jnp.bfloat16)
 
     @jax.jit
-    def encode(params, video):
-        slow, fast = llava.encode_video(params, cfg, video)
-        return slow, fast
+    def encode(params, video, salt):
+        # in-graph salt defeats any transparent result caching in the
+        # runtime while keeping host->device traffic to one scalar
+        slow, fast = llava.encode_video(params, cfg, video + salt)
+        return (jnp.sum(slow.astype(jnp.float32))
+                + jnp.sum(fast.astype(jnp.float32)))
 
     # compile + warmup
-    jax.block_until_ready(encode(params, video))
-    # steady state
+    float(encode(params, video, jnp.bfloat16(0)))
+    # steady state: fetch the scalar result every iteration (full sync)
     iters = 10
     t0 = time.time()
-    for _ in range(iters):
-        out = encode(params, video)
-    jax.block_until_ready(out)
+    for i in range(1, iters + 1):
+        float(encode(params, video, jnp.bfloat16(i * 1e-3)))
     dt = (time.time() - t0) / iters
     frames_per_sec = cfg.num_frames / dt
 

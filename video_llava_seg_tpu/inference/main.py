@@ -1,0 +1,275 @@
+"""ViCaS inference CLI — parity with llava/inference/main.py.
+
+Same flags (-i/-o, --num_chunks/--chunk_idx for embarrassingly-parallel
+sharding over processes, --dataset_split, --skip_seg/--skip_captions,
+--overwrite, greedy decode budget), same resume-via-output-JSON behavior,
+same output schema {video_id, pred_caption, pred_lgvis_masks: [[{filename,
+mask_rles}]]}.
+
+Model loading accepts either a framework orbax checkpoint (config.json +
+state/) or a reference torch checkpoint directory (converted on the fly)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import os.path as osp
+from glob import glob
+from typing import Optional
+
+import numpy as np
+
+from video_llava_seg_tpu import conversation as conversation_lib
+from video_llava_seg_tpu.config import VideoLlavaConfig
+from video_llava_seg_tpu.constants import (
+    DEFAULT_IMAGE_TOKEN,
+    SLOW_FAST_SEPARATOR_TOKEN,
+)
+from video_llava_seg_tpu.data import video_io
+from video_llava_seg_tpu.inference.utils import (
+    mask_tensor_to_rle,
+    preprocess_seg_inputs,
+)
+from video_llava_seg_tpu.inference.video_fetcher import VideoAndFrameFetcher
+from video_llava_seg_tpu.mm_utils import tokenizer_image_token
+from video_llava_seg_tpu.models import llava
+from video_llava_seg_tpu.paths import Paths
+
+CAPTION_PROMPT = ("\nDescribe what is happening in the video in detail. "
+                  "Talk about the events, the main objects/actors and also "
+                  "briefly describe the background scene.")
+
+
+def split_list(lst, n):
+    chunk = math.ceil(len(lst) / n)
+    return [lst[i:i + chunk] for i in range(0, len(lst), chunk)]
+
+
+def get_chunk(lst, n, k):
+    return split_list(lst, n)[k]
+
+
+def get_video_list(gt_dir, version, split, output_dir, overwrite, chunk_idx,
+                   num_chunks):
+    with open(Paths.vicas_split_json(split, version)) as fh:
+        split_ids = json.load(fh)
+    split_ids = set(get_chunk(sorted(split_ids), num_chunks, chunk_idx))
+    completed = {int(osp.split(f)[-1].replace(".json", ""))
+                 for f in glob(osp.join(output_dir, "*.json"))}
+    ret = []
+    for f in sorted(glob(osp.join(gt_dir, "*.json"))):
+        vid = int(osp.split(f)[-1].replace(".json", ""))
+        if vid not in split_ids:
+            continue
+        split_ids.remove(vid)
+        if vid in completed and not overwrite:
+            continue
+        ret.append(f)
+    if split_ids:
+        raise FileNotFoundError(
+            f"No JSON file found for videos: {sorted(split_ids)}")
+    return ret
+
+
+def load_model(model_path: str, cfg: Optional[VideoLlavaConfig] = None):
+    """Load (params, cfg, tokenizer) from an orbax or torch checkpoint dir."""
+    import jax
+
+    from transformers import AutoTokenizer
+
+    cfg_path = osp.join(model_path, "config.json")
+    if cfg is None and osp.exists(cfg_path):
+        with open(cfg_path) as fh:
+            raw = json.load(fh)
+        if "llm" in raw:  # our config tree
+            from video_llava_seg_tpu.config import (
+                DTypePolicy, LlamaConfig, ProjectorConfig, SegHeadConfig,
+                VisionTowerConfig,
+            )
+            cfg = VideoLlavaConfig(
+                llm=LlamaConfig(**raw["llm"]),
+                vision=VisionTowerConfig(**raw["vision"]),
+                projector=ProjectorConfig(**raw["projector"]),
+                seg=SegHeadConfig(**raw["seg"]) if raw.get("seg") else None,
+                **{k: v for k, v in raw.items()
+                   if k not in ("llm", "vision", "projector", "seg",
+                                "dtype")})
+    cfg = cfg or VideoLlavaConfig()
+
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(model_path)
+    except Exception:
+        tokenizer = None
+
+    if osp.isdir(osp.join(model_path, "state")):
+        import orbax.checkpoint as ocp
+
+        params = llava.init(jax.random.PRNGKey(0), cfg)
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(osp.abspath(osp.join(model_path, "state")),
+                                 {"params": params})
+        params = restored["params"]
+    else:
+        from video_llava_seg_tpu.convert.llava_torch import (
+            load_llava_weights,
+        )
+        params = load_llava_weights(model_path, cfg)
+    return params, cfg, tokenizer
+
+
+def build_prompt(cfg: VideoLlavaConfig, qs: str, conv_template_name: str,
+                 use_sf_separator: bool = False) -> str:
+    """Video token layout + conversation wrap (main.py:92-117 parity)."""
+    if cfg.num_slow_frames == cfg.num_frames:
+        vid_tokens = DEFAULT_IMAGE_TOKEN * cfg.num_frames
+    else:
+        sep = SLOW_FAST_SEPARATOR_TOKEN if use_sf_separator else ""
+        vid_tokens = (DEFAULT_IMAGE_TOKEN * cfg.num_slow_frames + sep
+                      + DEFAULT_IMAGE_TOKEN * cfg.num_frames)
+    conv = conversation_lib.conv_templates[conv_template_name].copy()
+    conv.append_message(conv.roles[0], vid_tokens + qs)
+    conv.append_message(conv.roles[1], None)
+    return conv.get_prompt()
+
+
+def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
+                     qs: str, conv_template_name: str, max_new_tokens: int,
+                     seg_frames=None, seg_meta=None,
+                     eos_token_ids=()):
+    prompt = build_prompt(cfg, qs, conv_template_name)
+    frames = video_io.load_video_uniform(video_bytes, cfg.num_frames)
+    from video_llava_seg_tpu.data.vicas import (
+        clip_preprocess_frames,
+        expand2square_batch,
+        CLIP_IMAGE_MEAN,
+    )
+    fill = tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
+    video = clip_preprocess_frames(expand2square_batch(frames, fill),
+                                   cfg.vision.image_size)[None]
+    input_ids = np.asarray(tokenizer_image_token(prompt, tokenizer))[None]
+
+    tokens, hidden, n = llava.generate(params, cfg, input_ids, video,
+                                       max_new_tokens=max_new_tokens,
+                                       eos_token_ids=tuple(eos_token_ids))
+    n = int(n)
+    out_ids = np.asarray(tokens)[0, :n]
+    text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+
+    pred_mask_logits = None
+    if seg_frames is not None:
+        outs = llava.forward_seg_head_inference(
+            params, cfg, tokens, hidden, n, [seg_frames], [seg_meta])
+        if outs is not None:
+            pred_mask_logits = np.asarray(outs[0])
+    return text, pred_mask_logits
+
+
+def run_inference(args):
+    import jax
+
+    params, cfg, tokenizer = load_model(args.model_path)
+    fetcher = VideoAndFrameFetcher(args)
+    gt_dir = args.gt_dir or str(Paths.vicas_annotations_dir(
+        args.dataset_version))
+    output_dir = args.output_dir or osp.join(
+        args.model_path,
+        f"inference/ViCaS/pred_{args.dataset_version}_{args.dataset_split}")
+    os.makedirs(output_dir, exist_ok=True)
+    print(f"Output directory: {output_dir}")
+
+    gt_json_list = get_video_list(gt_dir, args.dataset_version,
+                                  args.dataset_split, output_dir,
+                                  args.overwrite, args.chunk_idx,
+                                  args.num_chunks)
+    if not gt_json_list:
+        print("No videos to process")
+        return
+
+    eos_ids = []
+    for tok in ("<|eot_id|>", "<|end_of_text|>", "</s>"):
+        try:
+            tid = tokenizer.convert_tokens_to_ids(tok)
+            if tid is not None and tid >= 0:
+                eos_ids.append(tid)
+        except Exception:
+            pass
+
+    conv_template_name = args.conv_template
+    for json_path in gt_json_list:
+        with open(json_path) as fh:
+            content = json.load(fh)
+        video_id = content["video_id"]
+        output_path = osp.join(output_dir, f"{video_id:06d}.json")
+        if osp.exists(output_path) and not args.overwrite:
+            continue
+
+        video_bytes = fetcher.get_video(content["filename"])
+        raw_frames, seg_meta = fetcher.get_frames(content, gt_only=True)
+        seg_frames, seg_meta = preprocess_seg_inputs(
+            raw_frames, seg_meta, tgt_size=cfg.seg.image_size
+            if cfg.seg else 1024, normalize=False,
+            pad_mode=args.seg_pad_mode)
+
+        pred = {"video_id": video_id,
+                "pred_lgvis_masks": [[] for _ in
+                                     content["object_referrals"]],
+                "pred_caption": None}
+        sub_indices = ([] if args.skip_captions else [-1]) + (
+            [] if args.skip_seg
+            else list(range(len(content["object_referrals"]))))
+        for idx in sub_indices:
+            if idx == -1:
+                qs = CAPTION_PROMPT
+                kwargs = {}
+            else:
+                ref = content["object_referrals"][idx]
+                qs = (f"\n{ref['prompt']} Please output the segmentation "
+                      "mask.")
+                kwargs = {"seg_frames": seg_frames, "seg_meta": seg_meta}
+            text, logits = get_model_output(
+                params, cfg, tokenizer, video_bytes, qs, conv_template_name,
+                args.max_new_tokens, eos_token_ids=eos_ids, **kwargs)
+            if idx == -1:
+                pred["pred_caption"] = text
+                if args.print_captions:
+                    print(f"Video {video_id}\nPred Caption: {text}\n"
+                          f"GT Caption: {content['caption_parsed_en_gpt']}"
+                          "\n----------")
+            elif logits is not None:
+                masks = logits > 0.0
+                rles = mask_tensor_to_rle(masks)
+                for t in range(masks.shape[1]):
+                    pred["pred_lgvis_masks"][idx].append({
+                        "filename": seg_meta["filenames"][t],
+                        "mask_rles": [x[t] for x in rles],
+                    })
+        with open(output_path, "w") as fh:
+            json.dump(pred, fh)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", "-i", required=True)
+    p.add_argument("--gt_dir", required=False)
+    p.add_argument("--output_dir", "-o", required=False)
+    p.add_argument("--num_chunks", type=int, default=1)
+    p.add_argument("--chunk_idx", type=int, default=0)
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--print_captions", action="store_true")
+    p.add_argument("--dataset_version", default="v1.0")
+    p.add_argument("--dataset_split", default="val")
+    p.add_argument("--skip_seg", action="store_true")
+    p.add_argument("--skip_captions", action="store_true")
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--conv_template", default="llava_llama_3")
+    p.add_argument("--seg_pad_mode", default="topleft")
+    return p.parse_args()
+
+
+if __name__ == "__main__":
+    run_inference(parse_args())

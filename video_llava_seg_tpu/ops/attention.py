@@ -102,8 +102,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
     @pl.when(run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)  # [block_q, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        # keep q/k in their native (bf16) dtype so the MXU runs at full
+        # rate; accumulate the scores in fp32
+        q = q_ref[0, 0]                      # [block_q, D]
+        k = k_ref[0, 0]                      # [block_k, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [block_q, block_k]
@@ -128,8 +130,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[...] = l_next
 
         acc_ref[...] = acc_ref[...] * alpha[:, :1]
-        v = v_ref[0, 0].astype(jnp.float32)
-        acc_ref[...] += jax.lax.dot(p, v,
+        v = v_ref[0, 0]
+        acc_ref[...] += jax.lax.dot(p.astype(v.dtype), v,
                                     preferred_element_type=jnp.float32)
 
     @pl.when(ik == num_kv_blocks - 1)

@@ -1,0 +1,187 @@
+"""Training entry point — TPU-native equivalent of llava/train/train.py.
+
+Orchestrates: config parsing, tokenizer + special-token init (capturing
+seg_token_idx, train.py:556-560), model init / cross-stage weight restore
+(train.py:596-604), freeze policy, data module, mesh sharding, and the train
+loop with checkpoint resume. A --synthetic flag swaps the dataset for random
+batches so the full pipeline can be exercised without ViCaS on disk."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_llava_seg_tpu.config import (
+    DataConfig,
+    MeshConfig,
+    TrainConfig,
+    VideoLlavaConfig,
+    to_json,
+)
+from video_llava_seg_tpu.constants import (
+    IMAGE_TOKEN_INDEX,
+    SLOW_FAST_SEPARATOR_TOKEN,
+    VIDEO_SEG_TOKEN,
+)
+from video_llava_seg_tpu.models import llava
+from video_llava_seg_tpu.parallel.mesh import create_mesh, shard_params
+from video_llava_seg_tpu.train.train_step import (
+    create_train_state,
+    make_train_step,
+)
+from video_llava_seg_tpu.train.trainer import train_loop
+
+
+def initialize_vision_tokenizer(tokenizer, cfg: VideoLlavaConfig,
+                                with_seg: bool = True):
+    """Add special tokens and capture their ids
+    (llava_arch.py:428-506 + train.py:556-560 parity).
+
+    Returns an updated cfg with seg/sf-separator token ids."""
+    added = []
+    if cfg.num_slow_frames != cfg.num_frames:
+        added.append(SLOW_FAST_SEPARATOR_TOKEN)
+    if with_seg and cfg.seg is not None:
+        added.append(VIDEO_SEG_TOKEN)
+    if added:
+        tokenizer.add_tokens(added, special_tokens=True)
+    updates = {}
+    if cfg.num_slow_frames != cfg.num_frames:
+        updates["sf_separator_token_idx"] = tokenizer.convert_tokens_to_ids(
+            SLOW_FAST_SEPARATOR_TOKEN)
+    if with_seg and cfg.seg is not None:
+        updates["seg_token_idx"] = tokenizer.convert_tokens_to_ids(
+            VIDEO_SEG_TOKEN)
+    return dataclasses.replace(cfg, **updates)
+
+
+def synthetic_batches(cfg: VideoLlavaConfig, batch_size: int,
+                      seed: int = 0) -> Iterator[Dict]:
+    """Random batches with the exact collator schema (smoke testing)."""
+    rng = np.random.RandomState(seed)
+    tpi = llava.visual_tokens_per_sample(cfg)
+    while True:
+        ids = np.concatenate([
+            rng.randint(5, 100, (batch_size, 4)),
+            np.full((batch_size, len(tpi)), IMAGE_TOKEN_INDEX),
+            rng.randint(5, 100, (batch_size, 8)),
+        ], axis=1)
+        labels = np.where(ids == IMAGE_TOKEN_INDEX, -100, ids)
+        if cfg.seg is not None and cfg.seg_token_idx > 0:
+            labels[:, -2] = cfg.seg_token_idx
+            ids[:, -2] = cfg.seg_token_idx
+        plan = llava.build_splice_plan(ids, tpi, labels)
+        s = cfg.vision.image_size
+        batch = {
+            "video": rng.rand(batch_size, cfg.num_frames, s, s,
+                              3).astype(np.float32),
+            "text_ids": plan.text_ids,
+            "gather_idx": plan.gather_idx,
+            "position_ids": plan.position_ids,
+            "labels": plan.labels,
+        }
+        if cfg.seg is not None:
+            from video_llava_seg_tpu.models import seg_head as shm
+
+            ss = shm.make_sam2_cfg(cfg.seg).image_size
+            t_cap, n_cap = cfg.seg.max_seg_frames, cfg.seg.max_objects
+            batch.update({
+                "seg_frames": rng.rand(batch_size, t_cap, ss, ss,
+                                       3).astype(np.float32),
+                "seg_masks": rng.rand(batch_size, n_cap, t_cap, ss,
+                                      ss) > 0.7,
+                "seg_valid": np.ones((batch_size, n_cap), bool),
+                "seg_frame_valid": np.ones((batch_size, t_cap), bool),
+                "seg_padding": np.zeros((batch_size, 4), np.int32),
+                "seg_token_pos": np.full((batch_size, n_cap),
+                                         plan.seq_lens[0] - 3, np.int32),
+                "has_masks": np.ones((batch_size,), bool),
+            })
+        yield batch
+
+
+def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
+          data_args: Optional[DataConfig] = None,
+          tokenizer=None, restore_weights: Optional[str] = None,
+          synthetic: bool = False):
+    mesh = create_mesh(tcfg.mesh)
+    print(f"mesh: {mesh}")
+
+    params = llava.init(jax.random.PRNGKey(tcfg.seed), cfg)
+    if restore_weights:
+        from video_llava_seg_tpu.convert.llava_torch import (
+            load_llava_weights,
+        )
+        params = load_llava_weights(restore_weights, cfg, params)
+
+    with mesh:
+        params = shard_params(params, mesh, fsdp=tcfg.mesh.fsdp)
+        state, tx = create_train_state(params, tcfg)
+        step_fn = make_train_step(cfg, tcfg, tx)
+
+        if synthetic:
+            data_iter = synthetic_batches(cfg, tcfg.per_device_batch_size
+                                          * mesh.shape[tcfg.mesh.data_axis])
+        else:
+            from video_llava_seg_tpu.data.collate import (
+                make_supervised_data_module,
+            )
+            module = make_supervised_data_module(tokenizer, cfg, data_args)
+            dataset = module["train_dataset"]
+            collator = module["data_collator"]
+            bsz = (tcfg.per_device_batch_size
+                   * mesh.shape[tcfg.mesh.data_axis])
+
+            def gen():
+                rng = np.random.RandomState(tcfg.seed)
+                order = rng.permutation(len(dataset))
+                i = 0
+                while True:
+                    idx = [order[(i + j) % len(dataset)] for j in range(bsz)]
+                    i += bsz
+                    yield collator([dataset[int(k)] for k in idx])
+
+            data_iter = gen()
+
+        state = train_loop(state, step_fn, data_iter, tcfg, to_json(cfg))
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output_dir", default="output")
+    ap.add_argument("--num_train_steps", type=int, default=1000)
+    ap.add_argument("--per_device_batch_size", type=int, default=1)
+    ap.add_argument("--model_parallel", type=int, default=1)
+    ap.add_argument("--fsdp", action="store_true")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--dataset", default="vicas")
+    ap.add_argument("--restore_weights", default=None)
+    args = ap.parse_args()
+
+    cfg = (VideoLlavaConfig.tiny() if args.tiny else VideoLlavaConfig())
+    tcfg = TrainConfig(
+        output_dir=args.output_dir, num_train_steps=args.num_train_steps,
+        per_device_batch_size=args.per_device_batch_size,
+        mesh=MeshConfig(model_parallel=args.model_parallel,
+                        fsdp=args.fsdp))
+    data_args = DataConfig(dataset=args.dataset)
+    tokenizer = None
+    if not args.synthetic:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(
+            "meta-llama/Meta-Llama-3-8B-Instruct")
+        cfg = initialize_vision_tokenizer(tokenizer, cfg)
+    train(cfg, tcfg, data_args, tokenizer,
+          restore_weights=args.restore_weights, synthetic=args.synthetic)
+
+
+if __name__ == "__main__":
+    main()
