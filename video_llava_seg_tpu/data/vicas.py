@@ -217,22 +217,19 @@ class ViCaSDataset:
     def preprocess_seg_inputs(self, frames, masks, meta):
         """Resize long-dim->1024 + pad; masks resized bilinear>0.5 but NOT
         padded (vicas_dataset.py:340-378 — loss runs at pre-pad size)."""
-        from video_llava_seg_tpu.ops.resize import interpolate_hw
-        import jax.numpy as jnp
+        from video_llava_seg_tpu.ops.resize import resize_host
 
         x = frames.astype(np.float32) / 255.0
         tgt = self.data_args.seg_image_size
         h, w = x.shape[1:3]
         (nh, nw), (pl, pr, pt, pb) = get_resize_padding_params(
             h, w, tgt, pad_mode=self.data_args.pad_mode)
-        x = np.asarray(interpolate_hw(
-            jnp.asarray(x.transpose(0, 3, 1, 2)), (nh, nw), "bilinear"))
+        x = resize_host(x.transpose(0, 3, 1, 2), (nh, nw), "bilinear")
         x = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
         x = x.transpose(0, 2, 3, 1)                     # NHWC in [0,1]
         if masks is not None:
-            m = np.asarray(interpolate_hw(
-                jnp.asarray(masks.astype(np.float32)), (nh, nw),
-                "bilinear")) > 0.5
+            m = resize_host(masks.astype(np.float32), (nh, nw),
+                            "bilinear") > 0.5
         else:
             m = None
         meta["resized_image_size"] = (nh, nw)

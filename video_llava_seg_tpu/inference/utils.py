@@ -18,9 +18,7 @@ def preprocess_seg_inputs(seg_frames: np.ndarray, seg_meta: Dict[str, Any],
     for the SAM2-backed head which normalizes internally).
 
     seg_frames: uint8 [T, H, W, 3]. Returns float32 NHWC frames in [0, 1]."""
-    import jax.numpy as jnp
-
-    from video_llava_seg_tpu.ops.resize import interpolate_hw
+    from video_llava_seg_tpu.ops.resize import resize_host
 
     x = seg_frames.astype(np.float32) / 255.0
     if normalize:
@@ -30,15 +28,12 @@ def preprocess_seg_inputs(seg_frames: np.ndarray, seg_meta: Dict[str, Any],
     h, w = x.shape[1:3]
     (nh, nw), (pl, pr, pt, pb) = get_resize_padding_params(
         h, w, tgt_size, pad_mode=pad_mode)
-    x = np.asarray(interpolate_hw(
-        jnp.asarray(x.transpose(0, 3, 1, 2)), (nh, nw), "bilinear"))
+    x = resize_host(x.transpose(0, 3, 1, 2), (nh, nw), "bilinear")
     x = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
     x = x.transpose(0, 2, 3, 1)
     out_masks = None
     if seg_masks is not None:
-        m = np.asarray(interpolate_hw(
-            jnp.asarray(seg_masks.astype(np.float32)), (nh, nw),
-            "nearest"))
+        m = resize_host(seg_masks.astype(np.float32), (nh, nw), "nearest")
         m = np.pad(m, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
         out_masks = m.astype(seg_masks.dtype)
     seg_meta["resized_image_size"] = (nh, nw)

@@ -253,18 +253,21 @@ def remove_small_regions(mask: np.ndarray, area_thresh: float,
                          mode: str) -> Tuple[np.ndarray, bool]:
     """Remove small holes/islands via connected components
     (amg.py:269-293 — the reference's cv2-CPU counterpart of the CUDA CC)."""
-    import jax.numpy as jnp
-
-    from video_llava_seg_tpu.ops.connected_components import (
-        connected_components,
-    )
+    from video_llava_seg_tpu.ops import native
 
     assert mode in ("holes", "islands")
     correct_holes = mode == "holes"
     working = (correct_holes ^ mask).astype(bool)
-    labels, areas = connected_components(jnp.asarray(working[None]))
-    labels = np.asarray(labels)[0]
-    areas_np = np.asarray(areas)[0]
+    ret = native.connected_components_host(working[None])
+    if ret is None:  # native lib unavailable: pure-JAX fallback
+        import jax.numpy as jnp
+
+        from video_llava_seg_tpu.ops.connected_components import (
+            connected_components,
+        )
+        ret = connected_components(jnp.asarray(working[None]))
+    labels = np.asarray(ret[0])[0]
+    areas_np = np.asarray(ret[1])[0]
     small = (labels > 0) & (areas_np < area_thresh)
     if not small.any():
         return mask, False

@@ -133,3 +133,27 @@ def interpolate_nchw(x, size: Tuple[int, int], method: str = "bilinear",
                      antialias: bool = False):
     """Resize [..., C, H, W] layout."""
     return _interp_axes(x, size, method, antialias, x.ndim - 2, x.ndim - 1)
+
+
+def resize_host(x, size: Tuple[int, int], method: str = "bilinear"):
+    """Host-side resize of numpy [N, C, H, W] (or [N, H, W] for masks) —
+    prefers the threaded native C++ kernel (native/resize.cpp), falling back
+    to the JAX matmul path. torch align_corners=False semantics, no
+    antialias; matches the reference's CPU F.interpolate data-pipeline calls
+    (llava/train/vicas_dataset.py:340-378)."""
+    import numpy as np
+
+    from video_llava_seg_tpu.ops import native
+
+    x = np.asarray(x)
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[:, None]
+    if method in ("bilinear", "nearest") and x.ndim == 4:
+        out = native.resize_f32_host(x.astype(np.float32), size, method)
+        if out is not None:
+            out = out.astype(x.dtype) if x.dtype != np.float32 else out
+            return out[:, 0] if squeeze else out
+    import jax.numpy as jnp
+    out = np.asarray(interpolate_nchw(jnp.asarray(x), size, method))
+    return out[:, 0] if squeeze else out
