@@ -98,3 +98,41 @@ def test_projector_parity():
     ref = l1(torch.nn.functional.gelu(l0(x))).detach().numpy()
     out = jproj.apply(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_s2_multiscale_forward():
+    """S2 wrapper (clip_encoder.py:142-197): channel concat over scales,
+    base-grid token count, single-scale path == plain tower."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_llava_seg_tpu.config import VisionTowerConfig
+    from video_llava_seg_tpu.models import vit
+
+    cfg = VisionTowerConfig(name="tiny", image_size=28, patch_size=7,
+                            hidden_size=32, intermediate_size=64,
+                            num_layers=2, num_heads=4, select_layer=-1,
+                            s2_scales=(28, 56))
+    params = vit.init(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    out = vit.apply_s2(params, cfg, imgs)
+    g0 = 28 // 7
+    assert out.shape == (2, g0 * g0, 32 * 2)
+    assert cfg.effective_hidden_size == 64
+
+    # scale-0 channels must equal the plain tower on the resized input
+    cfg1 = dataclasses.replace(cfg, s2_scales=())
+    from video_llava_seg_tpu.ops.resize import interpolate
+    small = interpolate(imgs, (28, 28), "bicubic")
+    want = vit.apply(params, cfg1, small)
+    np.testing.assert_allclose(np.asarray(out[..., :32]), np.asarray(want),
+                               atol=1e-5)
+
+    # video batch shape survives
+    vid = imgs.reshape(1, 2, 56, 56, 3)
+    out_v = vit.apply_s2(params, cfg, vid)
+    np.testing.assert_allclose(np.asarray(out_v[0]), np.asarray(out),
+                               atol=1e-6)

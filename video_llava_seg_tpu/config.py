@@ -70,6 +70,17 @@ class VisionTowerConfig:
     layernorm_eps: float = 1e-5
     # RADIO-style towers have no CLS and use an input conditioner
     is_radio: bool = False
+    # S2 multi-scale wrapper (clip_encoder.py:142-197): scales sorted
+    # ascending, smallest = split size; effective hidden = hidden * n_scales
+    s2_scales: tuple = ()
+
+    @property
+    def s2_enabled(self) -> bool:
+        return len(self.s2_scales) > 0
+
+    @property
+    def effective_hidden_size(self) -> int:
+        return self.hidden_size * max(1, len(self.s2_scales))
 
     @property
     def num_patches_per_side(self) -> int:
@@ -217,6 +228,7 @@ class OptimGroupLRs:
     projector: float = 2e-5
     seg_encoder: float = 2e-6
     seg_decoder: float = 2e-5
+    lora: float = 2e-5
     weight_decay: float = 0.0
 
 
@@ -245,5 +257,11 @@ class TrainConfig:
     freeze_projector: bool = False
     freeze_seg_encoder: bool = False
     freeze_seg_decoder: bool = False
+    # LoRA (data_classes.py:85-89 defaults; adapters over LLM projections,
+    # base LLM frozen; merged on-the-fly each step — see train/lora.py)
+    lora_enable: bool = False
+    lora_rank: int = 64
+    lora_alpha: float = 16.0
+    lora_qv_proj_only: bool = False
     mask_dice_weight: float = 1.0
     mask_ce_weight: float = 2.0

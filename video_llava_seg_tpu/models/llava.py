@@ -53,7 +53,8 @@ def encode_video(params, cfg: VideoLlavaConfig, video,
     Returns (slow [B, T_slow, N, D], fast [B, T, p*p, D] or None) —
     llava_arch.py:183-198: slow frames keep all patch tokens, every frame is
     adaptively avg-pooled to fast_pool_size^2 tokens."""
-    feats = vit.apply(params["vision_tower"], cfg.vision, video, interpret)
+    tower = vit.apply_s2 if cfg.vision.s2_enabled else vit.apply
+    feats = tower(params["vision_tower"], cfg.vision, video, interpret)
     feats = projector.apply(params["mm_projector"], feats)  # [B, T, N, D]
     t = feats.shape[1]
     if cfg.num_slow_frames != cfg.num_frames:

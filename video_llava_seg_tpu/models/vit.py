@@ -143,3 +143,49 @@ def apply(params, cfg: VisionTowerConfig, images, interpret: bool = False):
     if video:
         x = x.reshape(b, t, *x.shape[1:])
     return x
+
+
+def apply_s2(params, cfg: VisionTowerConfig, images, interpret: bool = False):
+    """S2 multi-scale forward (CLIPVisionTowerS2, clip_encoder.py:142-197;
+    algorithm of bfshi/scaling_on_scales `multiscale_forward`).
+
+    images: [B(,T), S, S, 3] at the LARGEST scale. For each scale s (sorted
+    ascending, smallest = split size): resize to s, split into (s/s0)^2
+    crops of s0, batch through the tower, reassemble the crop grid, pool
+    back to the base grid (area average), and concat channels ascending.
+    Returns [B(,T), (s0/patch)^2, hidden * n_scales] — CLS must be dropped
+    (select_feature='patch') since crops have no joint CLS."""
+    assert cfg.s2_enabled, "apply_s2 requires cfg.s2_scales"
+    assert cfg.select_feature == "patch", "S2 merges patch grids only"
+    scales = sorted(cfg.s2_scales)
+    s0 = scales[0]
+    video = images.ndim == 5
+    if video:
+        b, t = images.shape[:2]
+        images = images.reshape(b * t, *images.shape[2:])
+    n = images.shape[0]
+    g0 = s0 // cfg.patch_size          # base token grid
+    outs = []
+    for s in scales:
+        x = images
+        if x.shape[1] != s:
+            x = interpolate(x, (s, s), "bicubic")
+        k = s // s0                    # crops per side
+        if k > 1:
+            # [n, k, s0, k, s0, 3] -> crops as batch
+            x = x.reshape(n, k, s0, k, s0, 3).transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(n * k * k, s0, s0, 3)
+        feats = apply(params, cfg, x, interpret)       # [n*k*k, g0*g0, C]
+        c = feats.shape[-1]
+        feats = feats.reshape(n, k, k, g0, g0, c).transpose(0, 1, 3, 2, 4, 5)
+        feats = feats.reshape(n, k * g0, k * g0, c)
+        if k > 1:
+            # area-average pool back to the base grid
+            feats = feats.reshape(n, g0, k, g0, k, c).mean(axis=(2, 4))
+        else:
+            feats = feats.reshape(n, g0, g0, c)
+        outs.append(feats)
+    out = jnp.concatenate(outs, axis=-1).reshape(n, g0 * g0, -1)
+    if video:
+        out = out.reshape(b, t, *out.shape[1:])
+    return out

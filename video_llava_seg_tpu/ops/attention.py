@@ -141,6 +141,73 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
 
 
+def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                         scale: float, causal: bool, block_q: int,
+                         q_offset: int):
+    """One-kv-block fast path: plain softmax per q block, no online stats.
+
+    KV padding is handled by an additive bias row [1, skv_p] (0 / -inf),
+    precomputed once on host — an add instead of per-element iota+where,
+    which matters because this kernel is VPU-bound at short sequence
+    lengths (the ViT / SAM2 decoder regime)."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[...]
+    if causal:
+        iq = pl.program_id(2)
+        row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+               + iq * block_q + q_offset)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col <= row, s, _MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]
+    acc = jax.lax.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc * (1.0 / l)).astype(o_ref.dtype)
+
+
+def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
+                        q_offset, interpret):
+    """pallas_call wrapper for the single-kv-block path."""
+    B, Hq, sq_p, d_p = q.shape
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+    num_q_blocks = sq_p // block_q
+    bias = jnp.where(jnp.arange(skv_p)[None, :] < kv_len, 0.0,
+                     _MASK_VALUE).astype(jnp.float32)
+    kernel = functools.partial(
+        _flash_kernel_single, scale=scale, causal=causal, block_q=block_q,
+        q_offset=q_offset)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, Hq, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d_p), lambda b, h, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, skv_p, d_p),
+                         lambda b, h, iq, g=group: (b, h // g, 0, 0)),
+            pl.BlockSpec((1, 1, skv_p, d_p),
+                         lambda b, h, iq, g=group: (b, h // g, 0, 0)),
+            pl.BlockSpec((1, skv_p), lambda b, h, iq: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
+                               lambda b, h, iq: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+# Largest KV extent served by the single-block kernel (scores block
+# [block_q, 1024] fp32 = 1.25 MB VMEM at block_q=320 — comfortably resident).
+_SINGLE_BLOCK_MAX_KV = 1024
+
+
 def flash_attention(q, k, v, *, causal: bool = False,
                     scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
@@ -158,11 +225,27 @@ def flash_attention(q, k, v, *, causal: bool = False,
     if scale is None:
         scale = 1.0 / math.sqrt(D)
 
+    d_p = _ceil_to(D, _LANES)
+
+    if Skv <= _SINGLE_BLOCK_MAX_KV:
+        # short-KV regime (ViT, SAM2 decoder/memory): one kv block per q
+        # block, no online-softmax bookkeeping — VPU work ~halves
+        skv_p = _ceil_to(Skv, _LANES)
+        block_q = min(320 if block_q == 128 else block_q,
+                      _ceil_to(Sq, 64))
+        sq_p = _ceil_to(Sq, block_q)
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
+        out = _flash_single_block(qp, kp, vp, causal=causal, scale=scale,
+                                  block_q=block_q, skv_p=skv_p, kv_len=Skv,
+                                  q_offset=Skv - Sq, interpret=interpret)
+        return out[:, :, :Sq, :D]
+
     block_q = min(block_q, _ceil_to(Sq, _LANES))
     block_k = min(block_k, _ceil_to(Skv, _LANES))
     sq_p = _ceil_to(Sq, block_q)
     skv_p = _ceil_to(Skv, block_k)
-    d_p = _ceil_to(D, _LANES)
 
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))

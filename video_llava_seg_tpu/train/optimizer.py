@@ -25,6 +25,8 @@ def _path_str(path) -> str:
 
 
 def component_of(path: str) -> str:
+    if path.startswith("lora"):
+        return "lora"
     if path.startswith("seg_head/image_encoder"):
         return "seg_encoder"
     if path.startswith("seg_head"):
@@ -57,13 +59,16 @@ def build_optimizer(cfg: TrainConfig, params):
         "projector": cfg.lrs.projector,
         "seg_encoder": cfg.lrs.seg_encoder,
         "seg_decoder": cfg.lrs.seg_decoder,
+        "lora": cfg.lrs.lora,
     }
     frozen = {
-        "llm": cfg.freeze_llm,
+        # LoRA implies frozen base LLM (train.py:410-426 peft semantics)
+        "llm": cfg.freeze_llm or cfg.lora_enable,
         "vision_tower": cfg.freeze_vision_tower,
         "projector": cfg.freeze_projector,
         "seg_encoder": cfg.freeze_seg_encoder,
         "seg_decoder": cfg.freeze_seg_decoder,
+        "lora": not cfg.lora_enable,
     }
     warmup = max(1, int(cfg.warmup_ratio * cfg.num_train_steps))
 

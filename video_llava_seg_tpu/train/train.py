@@ -119,6 +119,12 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
             load_llava_weights,
         )
         params = load_llava_weights(restore_weights, cfg, params)
+    if tcfg.lora_enable:
+        from video_llava_seg_tpu.train import lora as lora_mod
+
+        params["lora"] = lora_mod.init_lora(
+            jax.random.PRNGKey(tcfg.seed + 1), params, tcfg.lora_rank,
+            lora_mod.target_names(tcfg.lora_qv_proj_only))
 
     with mesh:
         params = shard_params(params, mesh, fsdp=tcfg.mesh.fsdp)

@@ -118,10 +118,17 @@ def make_train_step(cfg: VideoLlavaConfig, tcfg: TrainConfig, tx,
                     donate: bool = True, interpret: bool = False):
     """Build the jitted train step closure."""
 
+    def loss_of(p, batch, rng):
+        if tcfg.lora_enable and "lora" in p:
+            from video_llava_seg_tpu.train import lora as lora_mod
+
+            base = {k: v for k, v in p.items() if k != "lora"}
+            p = lora_mod.merge(base, p["lora"], tcfg.lora_alpha)
+        return compute_loss(p, cfg, batch, rng, interpret)
+
     def step_fn(state: TrainState, batch: Dict, rng):
         grad_fn = jax.value_and_grad(
-            lambda p: compute_loss(p, cfg, batch, rng, interpret),
-            has_aux=True)
+            lambda p: loss_of(p, batch, rng), has_aux=True)
         (loss, metrics), grads = grad_fn(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
