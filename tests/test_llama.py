@@ -107,3 +107,81 @@ def test_eos_stops_generation(params):
         params, CFG, embeds, prompt_len=3, max_new_tokens=8,
         eos_token_ids=tuple(range(CFG.vocab_size)))  # everything is EOS
     assert int(n) == 1  # stops right after the first emitted token
+
+
+def test_mistral_sliding_window_masks_old_keys():
+    """Sliding-window attention (llava_mistral.py wrapper parity): scores
+    for keys older than `window` are masked; prefill+decode agrees with the
+    uncached forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_llava_seg_tpu.config import LlamaConfig
+    from video_llava_seg_tpu.models import llama
+    from video_llava_seg_tpu.ops.attention import attention_reference
+
+    # direct mask check
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 2, 8, 16), jnp.float32)
+    out_w = attention_reference(q, q, q, causal=True, window=3)
+    # brute force
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, q) / 4.0
+    qi = jnp.arange(8)[:, None]
+    ki = jnp.arange(8)[None, :]
+    ok = (ki <= qi) & (ki > qi - 3)
+    s = jnp.where(ok[None, None], s, -1e30)
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), q)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(want),
+                               atol=1e-5)
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(), sliding_window=4)
+    params = llama.init(jax.random.PRNGKey(1), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 10, cfg.hidden_size))
+    pos = jnp.arange(10)
+    logits_full, _ = llama.forward(params, cfg, x, pos)
+    cache = llama.init_kv_cache(cfg, 1, 16, jnp.float32)
+    logits_pre, _, cache = llama.prefill(params, cfg, x[:, :9], pos[:9],
+                                         cache)
+    logits_dec, _, _ = llama.decode_step(params, cfg, x[:, 9:10], cache)
+    np.testing.assert_allclose(np.asarray(logits_dec[0, 0]),
+                               np.asarray(logits_full[0, 9]), atol=2e-3)
+
+
+def test_mpt_shape_alibi_layernorm_gelu():
+    """MPT-shaped decoder (llava_mpt.py wrapper parity): ALiBi + LayerNorm +
+    plain-GELU MLP + tied embeddings; cached decode matches forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_llava_seg_tpu.config import LlamaConfig
+    from video_llava_seg_tpu.models import llama
+    from video_llava_seg_tpu.ops.attention import alibi_slopes
+
+    sl = alibi_slopes(8)
+    assert sl.shape == (8,)
+    np.testing.assert_allclose(sl[0], 0.5)
+    assert np.all(np.diff(sl) < 0)
+
+    cfg = dataclasses.replace(
+        LlamaConfig.tiny(), use_rope=False, use_alibi=True,
+        norm_type="layernorm", mlp_type="gelu", tie_word_embeddings=True,
+        num_kv_heads=4)
+    params = llama.init(jax.random.PRNGKey(1), cfg)
+    assert "lm_head" not in params
+    assert "w_gate" not in params["layers"][0]["mlp"]
+    assert "bias" in params["layers"][0]["input_layernorm"]
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 7, cfg.hidden_size))
+    pos = jnp.arange(7)
+    logits_full, _ = llama.forward(params, cfg, x, pos)
+    cache = llama.init_kv_cache(cfg, 1, 12, jnp.float32)
+    _, _, cache = llama.prefill(params, cfg, x[:, :6], pos[:6], cache)
+    logits_dec, _, _ = llama.decode_step(params, cfg, x[:, 6:7], cache)
+    np.testing.assert_allclose(np.asarray(logits_dec[0, 0]),
+                               np.asarray(logits_full[0, 6]), atol=2e-3)

@@ -102,7 +102,12 @@ class ProjectorConfig:
 
 @dataclass(frozen=True)
 class LlamaConfig:
-    """Llama-3-8B-shaped decoder config."""
+    """Decoder-LM config, Llama-3-8B-shaped by default.
+
+    Also expresses the reference's alternate LLM wrappers via options
+    (llava/model/language_model/llava_mistral.py, llava_mpt.py):
+    Mistral = sliding_window; MPT = ALiBi + LayerNorm + plain-GELU MLP,
+    no RoPE."""
 
     vocab_size: int = 128256
     hidden_size: int = 4096
@@ -115,6 +120,12 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 6144
     tie_word_embeddings: bool = False
+    # architecture switches
+    use_rope: bool = True
+    use_alibi: bool = False          # MPT
+    sliding_window: Optional[int] = None  # Mistral
+    norm_type: str = "rmsnorm"       # 'rmsnorm' | 'layernorm' (MPT)
+    mlp_type: str = "swiglu"         # 'swiglu' | 'gelu' (MPT)
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LlamaConfig":
@@ -128,6 +139,24 @@ class LlamaConfig:
             head_dim=32,
             max_seq_len=512,
         )
+
+    @classmethod
+    def mistral_7b(cls) -> "LlamaConfig":
+        """Mistral-7B-Instruct shape (llava_mistral.py wrapper parity)."""
+        return cls(vocab_size=32000, hidden_size=4096,
+                   intermediate_size=14336, num_layers=32, num_heads=32,
+                   num_kv_heads=8, head_dim=128, rope_theta=10000.0,
+                   sliding_window=4096)
+
+    @classmethod
+    def mpt_7b(cls) -> "LlamaConfig":
+        """MPT-7B shape (llava_mpt.py wrapper parity): ALiBi, LayerNorm,
+        plain-GELU MLP, MHA, tied embeddings."""
+        return cls(vocab_size=50432, hidden_size=4096,
+                   intermediate_size=16384, num_layers=32, num_heads=32,
+                   num_kv_heads=32, head_dim=128, use_rope=False,
+                   use_alibi=True, norm_type="layernorm", mlp_type="gelu",
+                   tie_word_embeddings=True)
 
 
 @dataclass(frozen=True)

@@ -147,13 +147,86 @@ conv_llava_llama_3 = Conversation(
     version="llama3", messages=[], offset=0,
     sep_style=SeparatorStyle.MPT, sep="<|eot_id|>")
 
+conv_vicuna_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the human's questions.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###")
+
+conv_llama_2 = Conversation(
+    system="You are a helpful, respectful and honest assistant. Always "
+           "answer as helpfully as possible, while being safe.  Your answers "
+           "should not include any harmful, unethical, racist, sexist, "
+           "toxic, dangerous, or illegal content. Please ensure that your "
+           "responses are socially unbiased and positive in nature.\n\n"
+           "If a question does not make any sense, or is not factually "
+           "coherent, explain why instead of answering something not "
+           "correct. If you don't know the answer to a question, please "
+           "don't share false information.",
+    roles=("USER", "ASSISTANT"), version="llama_v2", messages=[], offset=0,
+    sep_style=SeparatorStyle.LLAMA_2, sep="<s>", sep2="</s>")
+
+conv_llava_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the human's questions.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###")
+
+conv_llava_v0_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant is able to understand the visual "
+           "content that the user provides, and assist the user with a "
+           "variety of tasks using natural language.The visual content will "
+           "be provided with the following format: <Image>visual "
+           "content</Image>.",
+    roles=("Human", "Assistant"), messages=[], offset=0,
+    sep_style=SeparatorStyle.SINGLE, sep="###", version="v0_mmtag")
+
+conv_llava_v1 = Conversation(
+    system="A chat between a curious human and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the human's questions.",
+    roles=("USER", "ASSISTANT"), version="v1", messages=[], offset=0,
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
+
+conv_llava_v1_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant is able to understand the visual "
+           "content that the user provides, and assist the user with a "
+           "variety of tasks using natural language.The visual content will "
+           "be provided with the following format: <Image>visual "
+           "content</Image>.",
+    roles=("USER", "ASSISTANT"), messages=[], offset=0,
+    sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>", version="v1_mmtag")
+
+conv_mistral_instruct = Conversation(
+    system="", roles=("USER", "ASSISTANT"), version="llama_v2", messages=[],
+    offset=0, sep_style=SeparatorStyle.LLAMA_2, sep="", sep2="</s>")
+
+conv_chatml_direct = Conversation(
+    system="<|im_start|>system\nAnswer the questions.",
+    roles=("<|im_start|>user\n", "<|im_start|>assistant\n"),
+    version="mpt", messages=[], offset=0,
+    sep_style=SeparatorStyle.MPT, sep="<|im_end|>")
+
 default_conversation = conv_vicuna_v1
 conv_templates = {
-    "default": conv_vicuna_v1,
+    "default": conv_vicuna_v0,
+    "v0": conv_vicuna_v0,
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
+    "llama_2": conv_llama_2,
+    "mistral_instruct": conv_mistral_instruct,
+    "chatml_direct": conv_chatml_direct,
+    "mistral_direct": conv_chatml_direct,
     "plain": conv_llava_plain,
-    "llava_v1": conv_vicuna_v1,
+    "v0_plain": conv_llava_plain,
+    "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
+    "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
     "llava_llama_2": conv_llava_llama_2,
     "llava_llama_3": conv_llava_llama_3,
     "mpt": conv_mpt,

@@ -34,30 +34,43 @@ def init(key, cfg: LlamaConfig, dtype=jnp.float32):
         "layers": [],
         "norm": nn.rms_norm_init(d, dtype),
     }
+    def norm_init():
+        return (nn.layer_norm_init(d, dtype) if cfg.norm_type == "layernorm"
+                else nn.rms_norm_init(d, dtype))
+
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[i + 2], 7)
+        mlp = {
+            "w_up": nn.dense_init(k[5], d, cfg.intermediate_size,
+                                  bias=False, dtype=dtype),
+            "w_down": nn.dense_init(k[6], cfg.intermediate_size, d,
+                                    bias=False, dtype=dtype),
+        }
+        if cfg.mlp_type == "swiglu":
+            mlp["w_gate"] = nn.dense_init(k[4], d, cfg.intermediate_size,
+                                          bias=False, dtype=dtype)
         p["layers"].append({
-            "input_layernorm": nn.rms_norm_init(d, dtype),
+            "input_layernorm": norm_init(),
             "attn": {
                 "wq": nn.dense_init(k[0], d, q_dim, bias=False, dtype=dtype),
                 "wk": nn.dense_init(k[1], d, kv_dim, bias=False, dtype=dtype),
                 "wv": nn.dense_init(k[2], d, kv_dim, bias=False, dtype=dtype),
                 "wo": nn.dense_init(k[3], q_dim, d, bias=False, dtype=dtype),
             },
-            "post_attention_layernorm": nn.rms_norm_init(d, dtype),
-            "mlp": {
-                "w_gate": nn.dense_init(k[4], d, cfg.intermediate_size,
-                                        bias=False, dtype=dtype),
-                "w_up": nn.dense_init(k[5], d, cfg.intermediate_size,
-                                      bias=False, dtype=dtype),
-                "w_down": nn.dense_init(k[6], cfg.intermediate_size, d,
-                                        bias=False, dtype=dtype),
-            },
+            "post_attention_layernorm": norm_init(),
+            "mlp": mlp,
         })
+    p["norm"] = norm_init()
     if not cfg.tie_word_embeddings:
         p["lm_head"] = nn.dense_init(keys[1], d, cfg.vocab_size, bias=False,
                                      dtype=dtype)
     return p
+
+
+def _norm(p, cfg: LlamaConfig, x):
+    if cfg.norm_type == "layernorm":
+        return nn.layer_norm(p, x, cfg.rms_norm_eps)
+    return nn.rms_norm(p, x, cfg.rms_norm_eps)
 
 
 def embed(params, ids):
@@ -96,12 +109,14 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
         b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = nn.dense(layer["attn"]["wv"], x).reshape(
         b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    q = apply_rope_1d(q, cos, sin)
-    k = apply_rope_1d(k, cos, sin)
+    if cfg.use_rope:
+        q = apply_rope_1d(q, cos, sin)
+        k = apply_rope_1d(k, cos, sin)
 
     if cache_kv is None:
         o = attention(q, k.astype(q.dtype), v.astype(q.dtype), causal=causal,
-                      kv_mask=kv_mask, interpret=interpret)
+                      kv_mask=kv_mask, window=cfg.sliding_window,
+                      alibi=cfg.use_alibi, interpret=interpret)
         new_kv = (k, v)
     else:
         ck, cv = cache_kv
@@ -110,14 +125,22 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
         cv = jax.lax.dynamic_update_slice(
             cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
         valid = cache_len + s
+        q_pos = (cache_len + jnp.arange(s)
+                 if (cfg.sliding_window is not None or cfg.use_alibi)
+                 else None)
         o = attention_reference(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                                kv_valid_len=valid)
+                                kv_valid_len=valid,
+                                window=cfg.sliding_window,
+                                alibi=cfg.use_alibi, q_positions=q_pos)
         new_kv = (ck, cv)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
     return nn.dense(layer["attn"]["wo"], o), new_kv
 
 
-def _mlp_block(layer, x):
+def _mlp_block(layer, x, cfg: LlamaConfig = None):
+    if cfg is not None and cfg.mlp_type == "gelu":
+        return nn.dense(layer["mlp"]["w_down"],
+                        nn.gelu(nn.dense(layer["mlp"]["w_up"], x)))
     g = nn.dense(layer["mlp"]["w_gate"], x)
     u = nn.dense(layer["mlp"]["w_up"], x)
     return nn.dense(layer["mlp"]["w_down"], jax.nn.silu(g) * u)
@@ -136,14 +159,13 @@ def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
         position_ids = position_ids[None]
     cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
     for layer in params["layers"]:
-        h = nn.rms_norm(layer["input_layernorm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["input_layernorm"], cfg, x)
         a, _ = _attn_block(layer, cfg, h, cos, sin, causal=True,
                            kv_mask=attn_mask, interpret=interpret)
         x = x + a
-        h = nn.rms_norm(layer["post_attention_layernorm"], x,
-                        cfg.rms_norm_eps)
-        x = x + _mlp_block(layer, h)
-    x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["post_attention_layernorm"], cfg, x)
+        x = x + _mlp_block(layer, h, cfg)
+    x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
     return logits, x
 
@@ -158,7 +180,7 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
     s = x.shape[1]
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
-        h = nn.rms_norm(layer["input_layernorm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["input_layernorm"], cfg, x)
         a, (k, v) = _attn_block(layer, cfg, h, cos, sin, causal=True,
                                 interpret=interpret)
         new_k.append(jax.lax.dynamic_update_slice(
@@ -166,10 +188,9 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
         new_v.append(jax.lax.dynamic_update_slice(
             cache.v[li], v.astype(cache.v.dtype), (0, 0, 0, 0)))
         x = x + a
-        h = nn.rms_norm(layer["post_attention_layernorm"], x,
-                        cfg.rms_norm_eps)
-        x = x + _mlp_block(layer, h)
-    x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["post_attention_layernorm"], cfg, x)
+        x = x + _mlp_block(layer, h, cfg)
+    x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
     cache = KVCache(jnp.stack(new_k), jnp.stack(new_v),
                     jnp.asarray(s, jnp.int32))
@@ -186,7 +207,7 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
     cos, sin = rope_1d_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
-        h = nn.rms_norm(layer["input_layernorm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["input_layernorm"], cfg, x)
         a, (ck, cv) = _attn_block(
             layer, cfg, h, cos, sin, causal=False,
             cache_kv=(cache.k[li], cache.v[li]), cache_len=cache.length,
@@ -194,10 +215,9 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
         new_k.append(ck)
         new_v.append(cv)
         x = x + a
-        h = nn.rms_norm(layer["post_attention_layernorm"], x,
-                        cfg.rms_norm_eps)
-        x = x + _mlp_block(layer, h)
-    x = nn.rms_norm(params["norm"], x, cfg.rms_norm_eps)
+        h = _norm(layer["post_attention_layernorm"], cfg, x)
+        x = x + _mlp_block(layer, h, cfg)
+    x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
     cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + 1)
     return logits, x, cache

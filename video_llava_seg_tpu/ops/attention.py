@@ -41,14 +41,33 @@ def _ceil_to(x: int, m: int) -> int:
 # XLA reference implementation
 # ---------------------------------------------------------------------------
 
+def alibi_slopes(num_heads: int):
+    """Standard ALiBi head slopes (geometric sequence; MPT attention)."""
+    import numpy as np
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    n = 2 ** math.floor(math.log2(num_heads))
+    slopes = pow2_slopes(n)
+    if n < num_heads:
+        extra = pow2_slopes(2 * n)[0::2][: num_heads - n]
+        slopes += extra
+    return np.asarray(slopes, np.float32)
+
+
 def attention_reference(q, k, v, *, causal: bool = False,
                         scale: Optional[float] = None,
                         kv_valid_len: Optional[int] = None,
-                        kv_mask=None):
+                        kv_mask=None, window: Optional[int] = None,
+                        alibi: bool = False, q_positions=None):
     """Plain softmax attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
 
     kv_mask: optional bool [B, Skv]; False keys are masked out (fixed-slot
-    memory banks with invalid slots)."""
+    memory banks with invalid slots). window: Mistral-style sliding window
+    (keys older than `window` positions are masked). alibi: MPT-style
+    additive linear position bias per head."""
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
     assert Hq % Hkv == 0, (Hq, Hkv)
@@ -60,10 +79,21 @@ def attention_reference(q, k, v, *, causal: bool = False,
         v = jnp.repeat(v, group, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
+    # rel = key pos minus query pos; queries default to the sequence end,
+    # q_positions ([Sq] absolute key-space positions) overrides (cached
+    # decode, where the query sits at cache_len, not Skv-1)
+    qi = (q_positions[:, None] if q_positions is not None
+          else jnp.arange(Sq)[:, None] + (Skv - Sq))
+    ki = jnp.arange(Skv)[None, :]
+    rel = ki - qi
+    if alibi:
+        slopes = jnp.asarray(alibi_slopes(Hq))
+        s = s + slopes[None, :, None, None] * rel[None, None].astype(
+            jnp.float32)
     if causal:
-        qi = jnp.arange(Sq)[:, None]
-        ki = jnp.arange(Skv)[None, :]
-        s = jnp.where((ki <= qi + (Skv - Sq))[None, None], s, _MASK_VALUE)
+        s = jnp.where((rel <= 0)[None, None], s, _MASK_VALUE)
+    if window is not None:
+        s = jnp.where((rel > -window)[None, None], s, _MASK_VALUE)
     if kv_valid_len is not None:
         ki = jnp.arange(Skv)[None, None, None, :]
         s = jnp.where(ki < kv_valid_len, s, _MASK_VALUE)
@@ -300,12 +330,14 @@ def _on_tpu() -> bool:
 
 
 def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
-              backend: str = "auto", interpret: bool = False, kv_mask=None):
+              backend: str = "auto", interpret: bool = False, kv_mask=None,
+              window: Optional[int] = None, alibi: bool = False):
     """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere."""
-    if kv_mask is not None:
-        # masked variant currently served by the XLA path
+    if kv_mask is not None or window is not None or alibi:
+        # masked / windowed / alibi variants served by the XLA path
         return attention_reference(q, k, v, causal=causal, scale=scale,
-                                   kv_mask=kv_mask)
+                                   kv_mask=kv_mask, window=window,
+                                   alibi=alibi)
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":

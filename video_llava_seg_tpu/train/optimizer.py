@@ -71,8 +71,12 @@ def build_optimizer(cfg: TrainConfig, params):
         "lora": not cfg.lora_enable,
     }
     warmup = max(1, int(cfg.warmup_ratio * cfg.num_train_steps))
+    # keep decay_steps positive on tiny runs (warmup must be < total)
+    warmup = min(warmup, max(1, cfg.num_train_steps - 1))
 
     def make_sched(peak):
+        if cfg.num_train_steps <= 1:
+            return peak
         if cfg.lr_schedule == "cosine":
             return optax.warmup_cosine_decay_schedule(
                 0.0, peak, warmup, cfg.num_train_steps)

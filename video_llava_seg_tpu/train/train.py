@@ -159,32 +159,86 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
     return state
 
 
+#: Stage presets mirroring the reference launch scripts
+#: (scripts/train/llama3/stage{1,2,3}*.sh): dataset, freezes, LRs.
+STAGE_PRESETS = {
+    # stage1_pretrain.sh: projector-only warmup on caption data, lr 1e-3
+    "stage1": dict(dataset="captions", freeze_llm=True,
+                   freeze_vision_tower=True, lrs=dict(projector=1e-3),
+                   with_seg=False),
+    # stage2_finetune.sh: full LLM+tower+projector finetune on captions
+    "stage2": dict(dataset="captions", lrs=dict(llm=2e-5, vision_tower=2e-6,
+                                                projector=2e-5),
+                   with_seg=False),
+    # stage3_with_seg.sh: + SAM2 seg head on ViCaS LG-VIS
+    "stage3": dict(dataset="vicas", lrs=dict(llm=2e-5, vision_tower=2e-6,
+                                             projector=2e-5,
+                                             seg_encoder=2e-6,
+                                             seg_decoder=2e-5),
+                   with_seg=True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=sorted(STAGE_PRESETS), default=None,
+                    help="training stage preset (reference scripts parity)")
     ap.add_argument("--output_dir", default="output")
     ap.add_argument("--num_train_steps", type=int, default=1000)
     ap.add_argument("--per_device_batch_size", type=int, default=1)
+    ap.add_argument("--gradient_accumulation_steps", type=int, default=4)
     ap.add_argument("--model_parallel", type=int, default=1)
     ap.add_argument("--fsdp", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--dataset", default="vicas")
+    ap.add_argument("--dataset", default=None)
     ap.add_argument("--restore_weights", default=None)
+    ap.add_argument("--save_steps", type=int, default=2000)
+    ap.add_argument("--lora_enable", action="store_true")
+    ap.add_argument("--lora_rank", type=int, default=64)
+    ap.add_argument("--lora_alpha", type=float, default=16.0)
+    ap.add_argument("--learning_rate", type=float, default=None,
+                    help="override the LLM/projector peak LR")
+    ap.add_argument("--vision_tower_lr", type=float, default=None)
+    ap.add_argument("--tokenizer", default="meta-llama/Meta-Llama-3-8B-Instruct")
     args = ap.parse_args()
 
+    from video_llava_seg_tpu.config import OptimGroupLRs
+
+    preset = STAGE_PRESETS.get(args.stage, {})
+    with_seg = preset.get("with_seg", True)
     cfg = (VideoLlavaConfig.tiny() if args.tiny else VideoLlavaConfig())
+    if not with_seg and cfg.seg is not None:
+        cfg = dataclasses.replace(cfg, seg=None)
+
+    lr_over = dict(preset.get("lrs", {}))
+    if args.learning_rate is not None:
+        lr_over.update(llm=args.learning_rate, projector=args.learning_rate,
+                       seg_decoder=args.learning_rate,
+                       lora=args.learning_rate)
+    if args.vision_tower_lr is not None:
+        lr_over.update(vision_tower=args.vision_tower_lr,
+                       seg_encoder=args.vision_tower_lr)
     tcfg = TrainConfig(
         output_dir=args.output_dir, num_train_steps=args.num_train_steps,
         per_device_batch_size=args.per_device_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        save_steps=args.save_steps,
+        freeze_llm=preset.get("freeze_llm", False),
+        freeze_vision_tower=preset.get("freeze_vision_tower", False),
+        lora_enable=args.lora_enable, lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+        lrs=OptimGroupLRs(**lr_over),
         mesh=MeshConfig(model_parallel=args.model_parallel,
                         fsdp=args.fsdp))
-    data_args = DataConfig(dataset=args.dataset)
+    data_args = DataConfig(
+        dataset=args.dataset or preset.get("dataset", "vicas"))
     tokenizer = None
     if not args.synthetic:
         from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(
-            "meta-llama/Meta-Llama-3-8B-Instruct")
-        cfg = initialize_vision_tokenizer(tokenizer, cfg)
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        cfg = initialize_vision_tokenizer(tokenizer, cfg,
+                                          with_seg=with_seg)
     train(cfg, tcfg, data_args, tokenizer,
           restore_weights=args.restore_weights, synthetic=args.synthetic)
 
