@@ -279,6 +279,15 @@ class TrainConfig:
     save_steps: int = 2000
     save_total_limit: int = 1
     logging_steps: int = 1
+    # observability (train.py:607-620 wandb init; ETA callback 233-275).
+    # report_to: 'jsonl' | 'wandb' | 'none'; profiling via jax.profiler
+    # traces of steps [profile_start, profile_start + profile_steps).
+    report_to: str = "jsonl"
+    wandb_project: str = "videonet"
+    run_name: Optional[str] = None
+    trace_dir: Optional[str] = None
+    profile_start: int = 5
+    profile_steps: int = 3
     mesh: MeshConfig = field(default_factory=MeshConfig)
     # freeze policy (train.py:492-534)
     freeze_llm: bool = False

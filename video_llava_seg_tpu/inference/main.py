@@ -73,8 +73,15 @@ def get_video_list(gt_dir, version, split, output_dir, overwrite, chunk_idx,
     return ret
 
 
-def load_model(model_path: str, cfg: Optional[VideoLlavaConfig] = None):
-    """Load (params, cfg, tokenizer) from an orbax or torch checkpoint dir."""
+def load_model(model_path: str, cfg: Optional[VideoLlavaConfig] = None,
+               load_bits: Optional[int] = None):
+    """Load (params, cfg, tokenizer) from an orbax or torch checkpoint dir.
+
+    load_pretrained_model parity (llava/model/builder.py:34-200): LoRA
+    adapters found in the checkpoint are merged into the base weights
+    (peft merge_and_unload equivalent); load_bits ∈ {8, 4} applies
+    weight-only quantization (the TPU stand-in for BitsAndBytes,
+    builder.py:47-66)."""
     import jax
 
     from transformers import AutoTokenizer
@@ -116,6 +123,15 @@ def load_model(model_path: str, cfg: Optional[VideoLlavaConfig] = None):
             load_llava_weights,
         )
         params = load_llava_weights(model_path, cfg)
+    if isinstance(params, dict) and "lora" in params:
+        from video_llava_seg_tpu.train import lora as lora_mod
+
+        adapters = params.pop("lora")
+        params = lora_mod.merge_into(params, adapters)
+    if load_bits is not None:
+        from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+        params = quantize_tree(params, load_bits)
     return params, cfg, tokenizer
 
 
@@ -169,7 +185,10 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
 def run_inference(args):
     import jax
 
-    params, cfg, tokenizer = load_model(args.model_path)
+    params, cfg, tokenizer = load_model(
+        args.model_path,
+        load_bits=8 if getattr(args, "load_8bit", False)
+        else 4 if getattr(args, "load_4bit", False) else None)
     fetcher = VideoAndFrameFetcher(args)
     gt_dir = args.gt_dir or str(Paths.vicas_annotations_dir(
         args.dataset_version))
@@ -268,6 +287,8 @@ def parse_args():
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--conv_template", default="llava_llama_3")
     p.add_argument("--seg_pad_mode", default="topleft")
+    p.add_argument("--load_8bit", action="store_true")
+    p.add_argument("--load_4bit", action="store_true")
     return p.parse_args()
 
 

@@ -81,8 +81,13 @@ def unembed(params, cfg: LlamaConfig, h):
     if cfg.tie_word_embeddings:
         w = params["embed_tokens"]["embedding"].astype(h.dtype)
         return jnp.dot(h, w.T, preferred_element_type=jnp.float32)
-    return jnp.dot(h, params["lm_head"]["kernel"].astype(h.dtype),
-                   preferred_element_type=jnp.float32)
+    head = params["lm_head"]
+    if "kernel_q" in head:  # weight-only quantized (ops/quantization.py)
+        w = (head["kernel_q"].astype(jnp.float32)
+             * head["kernel_scale"]).astype(h.dtype)
+    else:
+        w = head["kernel"].astype(h.dtype)
+    return jnp.dot(h, w, preferred_element_type=jnp.float32)
 
 
 class KVCache(NamedTuple):

@@ -47,8 +47,12 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(p, x):
-    y = jnp.dot(x, p["kernel"].astype(x.dtype),
-                preferred_element_type=x.dtype)
+    if "kernel_q" in p:  # weight-only quantized (ops/quantization.py)
+        kernel = (p["kernel_q"].astype(jnp.float32)
+                  * p["kernel_scale"]).astype(x.dtype)
+    else:
+        kernel = p["kernel"].astype(x.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -24,7 +24,7 @@ from typing import Any, Dict, Iterable, Optional
 import jax
 import numpy as np
 
-from video_llava_seg_tpu.config import TrainConfig
+from video_llava_seg_tpu.config import TrainConfig, to_json
 from video_llava_seg_tpu.parallel.collectives import (
     is_main_process,
     print_once,
@@ -120,9 +120,20 @@ class MetricLogger:
     """Accumulate per-step metrics; reduce across hosts at log steps,
     weighting mask metrics by num_object_tracks (llava_trainer.py:459-532)."""
 
-    def __init__(self, log_path: Optional[str] = None):
+    def __init__(self, log_path: Optional[str] = None, tcfg=None):
         self.cache = defaultdict(list)
         self.log_path = log_path
+        self.wandb = None
+        if (tcfg is not None and tcfg.report_to == "wandb"
+                and is_main_process()):
+            try:  # wandb on global rank 0 only (train.py:607-620)
+                import wandb
+
+                wandb.init(project=tcfg.wandb_project, name=tcfg.run_name,
+                           config=json.loads(to_json(tcfg)))
+                self.wandb = wandb
+            except Exception as exc:
+                print_once(f"wandb unavailable ({exc}); logging to jsonl")
 
     def update(self, metrics: Dict[str, Any]) -> None:
         for k, v in metrics.items():
@@ -150,6 +161,8 @@ class MetricLogger:
         if self.log_path and is_main_process():
             with open(self.log_path, "a") as fh:
                 fh.write(json.dumps(out) + "\n")
+        if self.wandb is not None:
+            self.wandb.log(out, step=step)
         print_once(" | ".join(
             f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in out.items()))
@@ -166,14 +179,23 @@ def train_loop(state, step_fn, data_iter: Iterable, tcfg: TrainConfig,
         print_once(f"Resuming from {resume}")
         state = restore_checkpoint(resume, state)
     os.makedirs(tcfg.output_dir, exist_ok=True)
-    logger = MetricLogger(osp.join(tcfg.output_dir, "train_log.jsonl"))
+    logger = MetricLogger(osp.join(tcfg.output_dir, "train_log.jsonl"), tcfg)
     eta = ETAEstimator(tcfg.num_train_steps)
 
     start = int(jax.device_get(state.step))
+    tracing = False
     for step in range(start, tcfg.num_train_steps):
+        if tcfg.trace_dir and step == tcfg.profile_start:
+            jax.profiler.start_trace(tcfg.trace_dir)
+            tracing = True
         batch = next(data_iter)
         rng, sub = jax.random.split(rng)
         state, metrics = step_fn(state, batch, sub)
+        if tracing and step + 1 >= tcfg.profile_start + tcfg.profile_steps:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
+            tracing = False
         logger.update(metrics)
         if (step + 1) % tcfg.logging_steps == 0:
             logger.flush(step + 1, extra=eta.tick(step + 1))
