@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os.path as osp
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -59,6 +60,59 @@ def initialize_vision_tokenizer(tokenizer, cfg: VideoLlavaConfig,
         updates["seg_token_idx"] = tokenizer.convert_tokens_to_ids(
             VIDEO_SEG_TOKEN)
     return dataclasses.replace(cfg, **updates)
+
+
+#: config fields that must agree across training stages (hard error), and
+#: fields that only warn — llava/train/misc.py:123-147 parity.
+_CONSISTENCY_ASSERT = ("vision.name", "vision.image_size",
+                       "projector.projector_type",
+                       "projector.mm_hidden_size", "llm.hidden_size",
+                       "num_frames", "num_slow_frames")
+_CONSISTENCY_WARN = ("seg_token_idx", "tokenizer_model_max_length")
+
+
+def _cfg_get(cfg, dotted: str):
+    obj = cfg
+    for part in dotted.split("."):
+        obj = getattr(obj, part, None)
+        if obj is None:
+            return None
+    return obj
+
+
+def verify_config_consistency(cfg: VideoLlavaConfig, restore_dir: str):
+    """Assert/warn that the restored stage's persisted config matches the
+    current one (misc.py:123-147). No-op if no config.json is found."""
+    path = None
+    for cand in (osp.join(restore_dir, "config.json"),):
+        if osp.exists(cand):
+            path = cand
+    if path is None:
+        return
+    with open(path) as fh:
+        raw = json.load(fh)
+    if "llm" not in raw:   # torch/HF config, keys don't map 1:1
+        return
+
+    def raw_get(dotted):
+        obj = raw
+        for part in dotted.split("."):
+            if not isinstance(obj, dict) or part not in obj:
+                return None
+            obj = obj[part]
+        return obj
+
+    for key in _CONSISTENCY_ASSERT:
+        want, got = raw_get(key), _cfg_get(cfg, key)
+        if want is not None and got is not None and want != got:
+            raise ValueError(
+                f"config mismatch vs restored stage: {key}: "
+                f"checkpoint={want} current={got}")
+    for key in _CONSISTENCY_WARN:
+        want, got = raw_get(key), _cfg_get(cfg, key)
+        if want is not None and got is not None and want != got:
+            print(f"WARN: config field {key} differs from restored stage: "
+                  f"checkpoint={want} current={got}")
 
 
 def synthetic_batches(cfg: VideoLlavaConfig, batch_size: int,
@@ -118,6 +172,7 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
         from video_llava_seg_tpu.convert.llava_torch import (
             load_llava_weights,
         )
+        verify_config_consistency(cfg, restore_weights)
         params = load_llava_weights(restore_weights, cfg, params)
     if tcfg.lora_enable:
         from video_llava_seg_tpu.train import lora as lora_mod
