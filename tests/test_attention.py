@@ -52,3 +52,32 @@ def test_causal_first_token_ignores_future(rng):
     # token 0 may only attend to kv 0 -> output equals v[0]
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
                                np.asarray(v[0, 0, 0]), atol=1e-5, rtol=1e-5)
+
+
+def test_flash_kv_mask_matches_reference():
+    """kv_mask via additive bias in the Pallas kernel (fixed-slot memory
+    banks): both single- and multi-block paths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_llava_seg_tpu.ops.attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    key = jax.random.PRNGKey(0)
+    for skv in (300, 2000):   # single-block and multi-block regimes
+        q = jax.random.normal(key, (2, 4, 100, 64), jnp.float32)
+        k = jax.random.normal(jax.random.fold_in(key, 1),
+                              (2, 4, skv, 64), jnp.float32)
+        v = jax.random.normal(jax.random.fold_in(key, 2),
+                              (2, 4, skv, 64), jnp.float32)
+        mask = jax.random.bernoulli(jax.random.fold_in(key, 3),
+                                    0.7, (2, skv))
+        mask = mask.at[:, 0].set(True)  # avoid fully-masked rows
+        bias = jnp.where(mask, 0.0, -0.7 * float(jnp.finfo(jnp.float32).max))
+        got = flash_attention(q, k, v, kv_bias=bias, interpret=True)
+        want = attention_reference(q, k, v, kv_mask=mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

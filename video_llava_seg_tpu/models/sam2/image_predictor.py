@@ -32,7 +32,20 @@ def _bucket(n: int) -> int:
 class SAM2ImagePredictor:
     def __init__(self, params, cfg: SAM2Config, mask_threshold: float = 0.0,
                  max_hole_area: float = 0.0, max_sprinkle_area: float = 0.0,
-                 interpret: bool = False):
+                 interpret: bool = False, compute_dtype=None):
+        # bf16 on TPU (reference runs SAM2 inference in bf16,
+        # sam2_video_predictor.py:952-957), fp32 elsewhere for parity tests
+        if compute_dtype is None:
+            try:
+                on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            except Exception:
+                on_tpu = False
+            compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        self.compute_dtype = compute_dtype
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
         self.params = params
         self.cfg = cfg
         self.mask_threshold = mask_threshold
@@ -58,6 +71,7 @@ class SAM2ImagePredictor:
 
     # ------------------------------------------------------------------
     def _encode_impl(self, images):
+        images = images.astype(self.compute_dtype)
         out = base.forward_image(self.params, self.cfg, images,
                                  self.interpret)
         feats, pos, sizes = base.prepare_backbone_features(self.cfg, out)
@@ -105,7 +119,7 @@ class SAM2ImagePredictor:
             self.params["mask_decoder"], cfg, image_embed, image_pe, sparse,
             dense, multimask_output=multimask_output,
             high_res_features=list(high_res_feats), interpret=self.interpret)
-        return low_res, ious
+        return low_res.astype(jnp.float32), ious.astype(jnp.float32)
 
     def _prep_prompts(self, point_coords, point_labels, box, mask_input,
                       normalize_coords, img_idx: int):

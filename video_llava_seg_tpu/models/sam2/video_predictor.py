@@ -52,7 +52,20 @@ class SAM2VideoPredictor:
                  clear_non_cond_mem_for_multi_obj: bool = False,
                  add_all_frames_to_correct_as_cond: bool = False,
                  max_cond_slots: int = 4,
-                 interpret: bool = False):
+                 interpret: bool = False, compute_dtype=None):
+        # bf16 on TPU (sam2_video_predictor.py:952-957 runs inference in
+        # bf16), fp32 elsewhere so CPU parity tests stay exact
+        if compute_dtype is None:
+            try:
+                on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            except Exception:
+                on_tpu = False
+            compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        self.compute_dtype = compute_dtype
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
         self.params = params
         self.cfg = cfg
         self.fill_hole_area = fill_hole_area
@@ -90,6 +103,7 @@ class SAM2VideoPredictor:
     # ------------------------------------------------------------------
 
     def _encode_impl(self, image):
+        image = image.astype(self.compute_dtype)
         out = base.forward_image(self.params, self.cfg, image, self.interpret)
         feats, pos, sizes = base.prepare_backbone_features(self.cfg, out)
         return tuple(feats)
@@ -125,7 +139,10 @@ class SAM2VideoPredictor:
             interpret=self.interpret)
         (_, _, ious, low_res_masks, high_res_masks, obj_ptr,
          object_score_logits) = outs
-        return low_res_masks, high_res_masks, obj_ptr, object_score_logits, pix
+        # masks/scores leave the jit in fp32 (host postprocess + numpy)
+        return (low_res_masks.astype(jnp.float32),
+                high_res_masks.astype(jnp.float32), obj_ptr,
+                object_score_logits.astype(jnp.float32), pix)
 
     def _condition_on_memory(self, low, mem_feats, slot_tpos, slot_valid,
                              ptrs, ptr_tpos, ptr_valid):
@@ -229,7 +246,13 @@ class SAM2VideoPredictor:
         images, video_height, video_width = load_video_frames(
             video_path, self.image_size)
         state: Dict = {}
-        state["images"] = np.asarray(images)  # host; moved per-frame
+        if offload_video_to_cpu:
+            state["images"] = np.asarray(images)  # host; moved per-frame
+        else:
+            # device-resident frames in compute dtype (reference keeps
+            # frames on GPU unless offload_video_to_cpu, :60-111)
+            state["images"] = jnp.asarray(np.asarray(images),
+                                          self.compute_dtype)
         state["num_frames"] = len(images)
         state["video_height"] = video_height
         state["video_width"] = video_width
@@ -383,22 +406,30 @@ class SAM2VideoPredictor:
                 out = unselected_cond.get(prev_idx)
             t_pos_and_prevs.append((t_pos, out))
 
-        mem_feats = np.zeros((batch_size, S, hw, mem_dim), np.float32)
+        # memory features stay ON DEVICE (no host round-trip — the bank is
+        # ~10 MB/frame; the reference likewise keeps maskmem on GPU unless
+        # offload_state_to_cpu)
+        slot_feats = []
         slot_tpos = np.zeros((S,), np.int32)
         slot_valid = np.zeros((S,), bool)
         slot = 0
         for t_pos, prev in t_pos_and_prevs:
             if prev is None or slot >= S:
                 continue
-            feats = np.asarray(prev["maskmem_features"],
-                               np.float32)  # [B, H, W, mem_dim]
-            mem_feats[:, slot] = feats.reshape(batch_size, hw, mem_dim)
+            feats = prev["maskmem_features"]        # [B, H, W, mem_dim] dev
+            slot_feats.append(jnp.reshape(feats,
+                                          (batch_size, 1, hw, mem_dim)))
             slot_tpos[slot] = cfg.num_maskmem - t_pos - 1
             slot_valid[slot] = True
             slot += 1
+        dt = (slot_feats[0].dtype if slot_feats else self.compute_dtype)
+        if slot < S:
+            slot_feats.append(jnp.zeros(
+                (batch_size, S - slot, hw, mem_dim), dt))
+        mem_feats = jnp.concatenate(slot_feats, axis=1)
 
-        # object pointers (sam2_base:591-650)
-        ptrs = np.zeros((batch_size, P, C), np.float32)
+        # object pointers (sam2_base:591-650) — also device-resident
+        ptr_list = []
         ptr_tpos = np.zeros((P,), np.float32)
         ptr_valid = np.zeros((P,), bool)
         if cfg.use_obj_ptrs_in_encoder:
@@ -424,12 +455,17 @@ class SAM2VideoPredictor:
                 if out is not None:
                     pos_and_ptrs.append((t_diff, out["obj_ptr"]))
             for i, (td, ptr) in enumerate(pos_and_ptrs[:P]):
-                ptrs[:, i] = np.asarray(ptr, np.float32)
+                ptr_list.append(jnp.reshape(ptr, (batch_size, 1, C)))
                 ptr_tpos[i] = td
                 ptr_valid[i] = True
+        n_ptr = len(ptr_list)
+        pdt = (ptr_list[0].dtype if ptr_list else self.compute_dtype)
+        if n_ptr < P:
+            ptr_list.append(jnp.zeros((batch_size, P - n_ptr, C), pdt))
+        ptrs = jnp.concatenate(ptr_list, axis=1)
 
-        return (jnp.asarray(mem_feats), jnp.asarray(slot_tpos),
-                jnp.asarray(slot_valid), jnp.asarray(ptrs),
+        return (mem_feats, jnp.asarray(slot_tpos),
+                jnp.asarray(slot_valid), ptrs,
                 jnp.asarray(ptr_tpos), jnp.asarray(ptr_valid))
 
     def _empty_memory(self, batch_size: int):

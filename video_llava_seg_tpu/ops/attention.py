@@ -109,7 +109,8 @@ def attention_reference(q, k, v, *, causal: bool = False,
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
+                  acc_ref, *,
                   scale: float, causal: bool, q_len: int, kv_len: int,
                   block_q: int, block_k: int, num_kv_blocks: int,
                   q_offset: int):
@@ -140,13 +141,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [block_q, block_k]
 
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-        mask = col < kv_len
+        # kv padding + optional per-key masking arrive as an additive bias
+        s = s + bias_ref[...]
         if causal:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ik * block_k)
             row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                    + iq * block_q + q_offset)
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, _MASK_VALUE)
+            s = jnp.where(col <= row, s, _MASK_VALUE)
 
         m_prev = m_ref[...]             # [block_q, LANES]
         l_prev = l_ref[...]
@@ -201,14 +203,24 @@ def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
 
 def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
-                        q_offset, interpret):
-    """pallas_call wrapper for the single-kv-block path."""
+                        q_offset, interpret, kv_bias=None):
+    """pallas_call wrapper for the single-kv-block path.
+
+    kv_bias: optional [B, Skv-unpadded] additive fp32 bias (e.g. -inf on
+    invalid fixed-slot memory tokens); fused with the padding mask."""
     B, Hq, sq_p, d_p = q.shape
     Hkv = k.shape[1]
     group = Hq // Hkv
     num_q_blocks = sq_p // block_q
-    bias = jnp.where(jnp.arange(skv_p)[None, :] < kv_len, 0.0,
-                     _MASK_VALUE).astype(jnp.float32)
+    pad_bias = jnp.where(jnp.arange(skv_p)[None, :] < kv_len, 0.0,
+                         _MASK_VALUE).astype(jnp.float32)
+    if kv_bias is not None:
+        bias = pad_bias + jnp.pad(kv_bias.astype(jnp.float32),
+                                  ((0, 0), (0, skv_p - kv_bias.shape[1])))
+        bias_index = lambda b, h, iq: (b, 0)  # noqa: E731
+    else:
+        bias = pad_bias
+        bias_index = lambda b, h, iq: (0, 0)  # noqa: E731
     kernel = functools.partial(
         _flash_kernel_single, scale=scale, causal=causal, block_q=block_q,
         q_offset=q_offset)
@@ -221,7 +233,7 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
             pl.BlockSpec((1, 1, skv_p, d_p),
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
-            pl.BlockSpec((1, skv_p), lambda b, h, iq: (0, 0)),
+            pl.BlockSpec((1, skv_p), bias_index),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d_p),
                                lambda b, h, iq: (b, h, iq, 0)),
@@ -241,12 +253,14 @@ _SINGLE_BLOCK_MAX_KV = 1024
 def flash_attention(q, k, v, *, causal: bool = False,
                     scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
-                    interpret: bool = False):
+                    interpret: bool = False, kv_bias=None):
     """Pallas flash attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
 
     Handles GQA via the k/v index map (kv head = q head // group), arbitrary
-    Sq/Skv/D via padding + in-kernel masking, and self/cross causal offsets
-    (causal with Sq != Skv aligns the diagonal to the sequence ends).
+    Sq/Skv/D via padding + in-kernel masking, self/cross causal offsets
+    (causal with Sq != Skv aligns the diagonal to the sequence ends), and an
+    optional per-key additive bias kv_bias [B, Skv] (fixed-slot memory banks
+    pass -inf on invalid slots).
     """
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
@@ -269,7 +283,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
         vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
         out = _flash_single_block(qp, kp, vp, causal=causal, scale=scale,
                                   block_q=block_q, skv_p=skv_p, kv_len=Skv,
-                                  q_offset=Skv - Sq, interpret=interpret)
+                                  q_offset=Skv - Sq, interpret=interpret,
+                                  kv_bias=kv_bias)
         return out[:, :, :Sq, :D]
 
     block_q = min(block_q, _ceil_to(Sq, _LANES))
@@ -284,6 +299,16 @@ def flash_attention(q, k, v, *, causal: bool = False,
     num_q_blocks = sq_p // block_q
     num_kv_blocks = skv_p // block_k
     q_offset = Skv - Sq  # aligns causal diagonal for cross lengths
+
+    pad_bias = jnp.where(jnp.arange(skv_p)[None, :] < Skv, 0.0,
+                         _MASK_VALUE).astype(jnp.float32)
+    if kv_bias is not None:
+        bias = pad_bias + jnp.pad(kv_bias.astype(jnp.float32),
+                                  ((0, 0), (0, skv_p - Skv)))
+        bias_index = lambda b, h, iq, ik: (b, ik)  # noqa: E731
+    else:
+        bias = pad_bias
+        bias_index = lambda b, h, iq, ik: (0, ik)  # noqa: E731
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, q_len=Sq, kv_len=Skv,
@@ -300,6 +325,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
                          lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
             pl.BlockSpec((1, 1, block_k, d_p),
                          lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
+            pl.BlockSpec((1, block_k), bias_index),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d_p),
                                lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -314,7 +340,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, bias)
     return out[:, :, :Sq, :D]
 
 
@@ -333,16 +359,20 @@ def attention(q, k, v, *, causal: bool = False, scale: Optional[float] = None,
               backend: str = "auto", interpret: bool = False, kv_mask=None,
               window: Optional[int] = None, alibi: bool = False):
     """Dispatch to the Pallas kernel on TPU, XLA reference elsewhere."""
-    if kv_mask is not None or window is not None or alibi:
-        # masked / windowed / alibi variants served by the XLA path
+    if window is not None or alibi:
+        # windowed / alibi variants served by the XLA path
         return attention_reference(q, k, v, causal=causal, scale=scale,
                                    kv_mask=kv_mask, window=window,
                                    alibi=alibi)
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
+        kv_bias = None
+        if kv_mask is not None:  # bool [B, Skv] -> additive bias
+            kv_bias = jnp.where(kv_mask, 0.0, _MASK_VALUE)
         return flash_attention(q, k, v, causal=causal, scale=scale,
-                               interpret=interpret)
+                               interpret=interpret, kv_bias=kv_bias)
     if backend == "xla":
-        return attention_reference(q, k, v, causal=causal, scale=scale)
+        return attention_reference(q, k, v, causal=causal, scale=scale,
+                                   kv_mask=kv_mask)
     raise ValueError(f"unknown attention backend: {backend}")

@@ -200,13 +200,36 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
                    * mesh.shape[tcfg.mesh.data_axis])
 
             def gen():
-                rng = np.random.RandomState(tcfg.seed)
-                order = rng.permutation(len(dataset))
-                i = 0
-                while True:
-                    idx = [order[(i + j) % len(dataset)] for j in range(bsz)]
-                    i += bsz
-                    yield collator([dataset[int(k)] for k in idx])
+                from video_llava_seg_tpu.data.sampler import (
+                    LengthGroupedSampler,
+                )
+                lengths = getattr(dataset, "modality_lengths", None)
+                if callable(lengths):
+                    lengths = lengths()
+                if lengths is not None:
+                    # modality/length-grouped batches (llava_trainer.py:
+                    # 55-78 sampler selection with group_by_modality_length)
+                    sampler = LengthGroupedSampler(
+                        tcfg.per_device_batch_size,
+                        mesh.shape[tcfg.mesh.data_axis], list(lengths),
+                        seed=tcfg.seed, group_by_modality=True)
+                    while True:
+                        buf = []
+                        for k in sampler:
+                            buf.append(k)
+                            if len(buf) == bsz:
+                                yield collator([dataset[int(i)]
+                                                for i in buf])
+                                buf = []
+                else:
+                    rng = np.random.RandomState(tcfg.seed)
+                    order = rng.permutation(len(dataset))
+                    i = 0
+                    while True:
+                        idx = [order[(i + j) % len(dataset)]
+                               for j in range(bsz)]
+                        i += bsz
+                        yield collator([dataset[int(k)] for k in idx])
 
             data_iter = gen()
 
