@@ -146,3 +146,24 @@ def test_remove_object_and_reset(predictors, video_dir):
     assert obj_ids == [1]
     mine.reset_state(state)
     assert state["obj_ids"] == []
+
+
+def test_async_loading_frames_matches_sync():
+    """AsyncFrameLoader (misc.py:92-168 parity) yields identical frames and
+    propagation results to the sync path."""
+    import numpy as np
+
+    from video_llava_seg_tpu.data.video_io import (
+        AsyncFrameLoader,
+        load_video_frames,
+    )
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (5, 24, 32, 3), dtype=np.uint8)
+    sync, h, w = load_video_frames(frames, 16)
+    loader = AsyncFrameLoader(frames, 16)
+    assert len(loader) == 5 and loader.shape == (5, 16, 16, 3)
+    assert (loader.video_height, loader.video_width) == (h, w)
+    for i in range(5):
+        np.testing.assert_allclose(loader[i], np.asarray(sync)[i],
+                                   atol=1e-6)

@@ -159,3 +159,85 @@ def load_video_frames(video_path, image_size: int):
         img = Image.fromarray(f).resize((image_size, image_size))
         out[i] = (np.asarray(img, np.float32) / 255.0 - mean) / std
     return out, h, w
+
+
+class AsyncFrameLoader:
+    """Background-thread frame loader (sam2/utils/misc.py:92-168
+    AsyncVideoFrameLoader semantics): frame 0 is loaded synchronously so
+    shape/dtype are known, the rest stream in a daemon thread; __getitem__
+    blocks until the requested frame is ready.
+
+    Supports indexing and len(); `shape` mirrors the eager array."""
+
+    def __init__(self, video_path, image_size: int):
+        import threading
+
+        # decode everything to raw frames first is what the sync path does;
+        # here we decode lazily: resolve the source once, then normalize
+        # per-frame in the worker
+        raw, self.video_height, self.video_width = _load_raw_frames(
+            video_path)
+        self._raw = raw
+        self.image_size = image_size
+        n = len(raw)
+        self._frames = [None] * n
+        self._frames[0] = _normalize_frame(raw[0], image_size)
+        self._exception = None
+        self._done = threading.Event()
+
+        def worker():
+            try:
+                for i in range(1, n):
+                    self._frames[i] = _normalize_frame(raw[i], image_size)
+            except Exception as exc:   # surfaced on next access
+                self._exception = exc
+            finally:
+                self._done.set()
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    @property
+    def shape(self):
+        return (len(self._frames), self.image_size, self.image_size, 3)
+
+    def __len__(self):
+        return len(self._frames)
+
+    def __getitem__(self, index):
+        if self._exception is not None:
+            raise RuntimeError("async frame loading failed") \
+                from self._exception
+        while self._frames[index] is None:
+            self._done.wait(0.01)
+            if self._exception is not None:
+                raise RuntimeError("async frame loading failed") \
+                    from self._exception
+        return self._frames[index]
+
+
+def _load_raw_frames(video_path):
+    """Resolve mp4/JPEG-dir/ndarray to raw uint8 frames + original size."""
+    if isinstance(video_path, np.ndarray):
+        frames = list(video_path)
+        return frames, frames[0].shape[0], frames[0].shape[1]
+    if isinstance(video_path, bytes) or (
+            isinstance(video_path, str)
+            and os.path.splitext(video_path)[-1].lower() == ".mp4"):
+        arr, _, _ = read_video_frames_cv2(video_path)
+        frames = list(arr)
+        return frames, frames[0].shape[0], frames[0].shape[1]
+    if isinstance(video_path, str) and os.path.isdir(video_path):
+        return load_frames_from_jpg_dir(video_path)
+    raise NotImplementedError(
+        "Only MP4, JPEG folder, or ndarray inputs are supported")
+
+
+def _normalize_frame(frame: np.ndarray, image_size: int) -> np.ndarray:
+    """Resize + 1/255 + mean/std for one frame (sync-loader semantics)."""
+    from PIL import Image
+
+    mean = np.asarray(IMG_MEAN, np.float32)
+    std = np.asarray(IMG_STD, np.float32)
+    img = Image.fromarray(frame).resize((image_size, image_size))
+    return ((np.asarray(img, np.float32) / 255.0 - mean) / std)

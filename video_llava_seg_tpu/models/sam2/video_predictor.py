@@ -243,17 +243,28 @@ class SAM2VideoPredictor:
         """Load frames and build a fresh inference state
         (sam2_video_predictor.py:43-111 parity; frames can also be a
         [T, H, W, 3] uint8 ndarray)."""
-        images, video_height, video_width = load_video_frames(
-            video_path, self.image_size)
         state: Dict = {}
-        if offload_video_to_cpu:
+        if async_loading_frames:
+            # background-thread loader (misc.py:92-168); frames stay on
+            # host and stream to device per access
+            from video_llava_seg_tpu.data.video_io import AsyncFrameLoader
+
+            loader = AsyncFrameLoader(video_path, self.image_size)
+            state["images"] = loader
+            video_height = loader.video_height
+            video_width = loader.video_width
+        elif offload_video_to_cpu:
+            images, video_height, video_width = load_video_frames(
+                video_path, self.image_size)
             state["images"] = np.asarray(images)  # host; moved per-frame
         else:
+            images, video_height, video_width = load_video_frames(
+                video_path, self.image_size)
             # device-resident frames in compute dtype (reference keeps
             # frames on GPU unless offload_video_to_cpu, :60-111)
             state["images"] = jnp.asarray(np.asarray(images),
                                           self.compute_dtype)
-        state["num_frames"] = len(images)
+        state["num_frames"] = len(state["images"])
         state["video_height"] = video_height
         state["video_width"] = video_width
         state["point_inputs_per_obj"] = {}
@@ -330,16 +341,48 @@ class SAM2VideoPredictor:
         return len(state["obj_idx_to_id"])
 
     def _get_image_feature(self, state, frame_idx: int, batch_size: int):
-        """Per-frame feature cache of size 1 (reference :879-910)."""
+        """Per-frame feature cache (reference :879-910 keeps an LRU of 1;
+        `precompute_image_features` fills the cache for a whole clip)."""
         feats = state["cached_features"].get(frame_idx)
         if feats is None:
-            image = jnp.asarray(state["images"][frame_idx])[None]
+            image = jnp.asarray(np.asarray(state["images"][frame_idx]),
+                                self.compute_dtype)[None]
             feats = self._encode_jit(image)
-            state["cached_features"] = {frame_idx: feats}
+            if not state.get("features_precomputed"):
+                state["cached_features"] = {}
+            state["cached_features"][frame_idx] = feats
         if batch_size > 1:
             feats = tuple(jnp.broadcast_to(f, (batch_size,) + f.shape[1:])
                           for f in feats)
         return feats
+
+    def precompute_image_features(self, state, chunk_size: int = 8) -> None:
+        """Batch the image encoder over whole chunks of the clip.
+
+        Frame encoding has no cross-frame dependency, so running the Hiera
+        trunk at batch=chunk_size amortizes kernel dispatch and feeds the
+        MXU full tiles — the reference encodes per frame with a cache of 1
+        (:879-910), which leaves most of the chip idle at 1024x1024."""
+        n = state["num_frames"]
+        imgs = state["images"]
+        cache = state["cached_features"]
+        todo = [i for i in range(n) if i not in cache]
+        if not todo:
+            return
+        for s in range(0, len(todo), chunk_size):
+            idxs = todo[s:s + chunk_size]
+            pad = chunk_size - len(idxs)   # pad to one static batch shape
+            take = idxs + [idxs[-1]] * pad
+            if isinstance(imgs, jnp.ndarray):
+                batch_img = imgs[jnp.asarray(take)]
+            else:
+                batch_img = jnp.asarray(
+                    np.stack([np.asarray(imgs[i]) for i in take]),
+                    self.compute_dtype)
+            feats = self._encode_jit(batch_img)
+            for j, fi in enumerate(idxs):
+                cache[fi] = tuple(f[j:j + 1] for f in feats)
+        state["features_precomputed"] = True
 
     # ------------------------------------------------------------------
     # memory bank assembly (host-side slot bookkeeping)
@@ -800,10 +843,17 @@ class SAM2VideoPredictor:
             consolidated_inds["non_cond_frame_outputs"].discard(frame_idx)
 
     def propagate_in_video(self, state, start_frame_idx=None,
-                           max_frame_num_to_track=None, reverse=False):
+                           max_frame_num_to_track=None, reverse=False,
+                           precompute_chunk: int = 8):
         """Reference :662-745 parity. Yields (frame_idx, obj_ids,
-        video_res_masks [B, 1, H, W] numpy)."""
+        video_res_masks [B, 1, H, W] numpy).
+
+        precompute_chunk > 0 batch-encodes the clip's image features up
+        front (set 0 to keep the reference's one-frame LRU behavior, e.g.
+        for very long videos with offloading)."""
         self.propagate_in_video_preflight(state)
+        if precompute_chunk:
+            self.precompute_image_features(state, precompute_chunk)
         output_dict = state["output_dict"]
         consolidated_inds = state["consolidated_frame_inds"]
         obj_ids = state["obj_ids"]

@@ -252,7 +252,7 @@ _SINGLE_BLOCK_MAX_KV = 1024
 
 def flash_attention(q, k, v, *, causal: bool = False,
                     scale: Optional[float] = None,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: int = 256, block_k: int = 512,
                     interpret: bool = False, kv_bias=None):
     """Pallas flash attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
 
@@ -275,7 +275,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
         # short-KV regime (ViT, SAM2 decoder/memory): one kv block per q
         # block, no online-softmax bookkeeping — VPU work ~halves
         skv_p = _ceil_to(Skv, _LANES)
-        block_q = min(320 if block_q == 128 else block_q,
+        block_q = min(320 if block_q in (128, 256) else block_q,
                       _ceil_to(Sq, 64))
         sq_p = _ceil_to(Sq, block_q)
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D)))
