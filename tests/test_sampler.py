@@ -49,3 +49,25 @@ def test_sampler_iterates_all():
                              group_by_modality=True)
     assert sorted(iter(s)) == list(range(8))
     assert len(s) == 8
+
+
+def test_prefetch_to_device_order_and_errors():
+    import numpy as np
+    import pytest
+
+    from video_llava_seg_tpu.data.prefetch import prefetch_to_device
+
+    batches = [{"x": np.full((2, 2), i)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2, 2), i))
+
+    def bad():
+        yield {"x": np.ones((1,))}
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)

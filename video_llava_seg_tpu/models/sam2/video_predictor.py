@@ -904,20 +904,22 @@ class SAM2VideoPredictor:
 
     def _add_output_per_object(self, state, frame_idx, current_out,
                                storage_key):
+        # per-object views stay ON DEVICE (slicing a jax array is lazy; the
+        # reference stores GPU tensors too — pulling to numpy here cost a
+        # host round-trip per frame)
         maskmem_features = current_out["maskmem_features"]
         for obj_idx, obj_out_dict in state["output_dict_per_obj"].items():
             sl = slice(obj_idx, obj_idx + 1)
             obj_out = {
                 "maskmem_features": None,
                 "maskmem_pos_enc": None,
-                "pred_masks": np.asarray(current_out["pred_masks"])[sl],
-                "obj_ptr": np.asarray(current_out["obj_ptr"])[sl],
-                "object_score_logits": np.asarray(
-                    current_out["object_score_logits"])[sl],
+                "pred_masks": current_out["pred_masks"][sl],
+                "obj_ptr": current_out["obj_ptr"][sl],
+                "object_score_logits":
+                    current_out["object_score_logits"][sl],
             }
             if maskmem_features is not None:
-                obj_out["maskmem_features"] = np.asarray(
-                    maskmem_features, np.float32)[sl]
+                obj_out["maskmem_features"] = maskmem_features[sl]
             obj_out_dict[storage_key][frame_idx] = obj_out
 
     def clear_all_prompts_in_frame(self, state, frame_idx, obj_id,

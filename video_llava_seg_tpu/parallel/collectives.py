@@ -64,3 +64,27 @@ def reduce_dict(d: Dict[str, float], average: bool = True) -> Dict[str, float]:
     if average:
         total = total / jax.process_count()
     return {k: float(v) for k, v in zip(keys, total)}
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None) -> bool:
+    """Multi-host bring-up — the torchrun/c10d-rendezvous equivalent
+    (scripts/train/llama3/stage3_with_seg.sh:18-22 `--rdzv_backend c10d`).
+
+    On TPU pods jax.distributed.initialize() autodetects everything from
+    the environment; explicit args cover DCN/manual setups. Returns True
+    if a multi-process runtime was initialized (False for single-process,
+    including when already initialized)."""
+    import jax
+
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        else:
+            jax.distributed.initialize()
+        return jax.process_count() > 1
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process environment
+        return False

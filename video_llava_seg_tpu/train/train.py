@@ -231,7 +231,10 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
                         i += bsz
                         yield collator([dataset[int(k)] for k in idx])
 
-            data_iter = gen()
+            from video_llava_seg_tpu.data.prefetch import (
+                prefetch_to_device,
+            )
+            data_iter = prefetch_to_device(gen(), size=2)
 
         state = train_loop(state, step_fn, data_iter, tcfg, to_json(cfg))
     return state
