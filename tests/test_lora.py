@@ -70,7 +70,8 @@ def test_train_step_updates_only_adapters_and_unfrozen():
 
     cfg, params = _tiny()
     tcfg = TrainConfig(lora_enable=True, lora_rank=4, num_train_steps=10,
-                       gradient_checkpointing=False)
+                       gradient_checkpointing=False,
+                       gradient_accumulation_steps=1)
     params["lora"] = lora.init_lora(jax.random.PRNGKey(1), params, 4)
     state, tx = create_train_state(params, tcfg)
     step_fn = make_train_step(cfg, tcfg, tx, donate=False)
@@ -106,3 +107,51 @@ def test_train_step_updates_only_adapters_and_unfrozen():
     new_b = np.asarray(
         new_state.params["lora"]["llm"]["layers"][0]["attn"]["wq"]["kernel"]["b"])
     assert np.abs(new_b - old_b).max() > 0  # adapters trained
+
+
+def test_gradient_accumulation_and_remat():
+    """grad-accum via optax.MultiSteps (params change only every k-th
+    micro-step) and remat path compiles."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_llava_seg_tpu.config import TrainConfig, VideoLlavaConfig
+    from video_llava_seg_tpu.constants import IMAGE_TOKEN_INDEX
+    from video_llava_seg_tpu.models import llava
+    from video_llava_seg_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = VideoLlavaConfig.tiny()
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(num_train_steps=10, gradient_accumulation_steps=2,
+                       gradient_checkpointing=True, warmup_ratio=0.0)
+    state, tx = create_train_state(params, tcfg)
+    step_fn = make_train_step(cfg, tcfg, tx, donate=False)
+
+    tpi = llava.visual_tokens_per_sample(cfg)
+    ids = np.concatenate([
+        np.asarray([[1, 2]]), np.full((1, len(tpi)), IMAGE_TOKEN_INDEX),
+        np.asarray([[3, 4]])], axis=1)
+    plan = llava.build_splice_plan(ids, tpi, labels=ids)
+    batch = {
+        "video": jnp.zeros((1, cfg.num_frames, cfg.vision.image_size,
+                            cfg.vision.image_size, 3), jnp.float32),
+        "text_ids": jnp.asarray(plan.text_ids),
+        "gather_idx": jnp.asarray(plan.gather_idx),
+        "position_ids": jnp.asarray(plan.position_ids),
+        "labels": jnp.asarray(plan.labels),
+    }
+    w0 = np.asarray(state.params["llm"]["layers"][0]["attn"]["wq"]["kernel"])
+    s1, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+    w1 = np.asarray(s1.params["llm"]["layers"][0]["attn"]["wq"]["kernel"])
+    np.testing.assert_array_equal(w0, w1)  # micro-step 1: no update yet
+    # run through two full accumulation windows (first real update is at
+    # warmup count 0 where lr = 0)
+    s = s1
+    for i in range(2, 5):
+        s, _ = step_fn(s, batch, jax.random.PRNGKey(i))
+    w4 = np.asarray(s.params["llm"]["layers"][0]["attn"]["wq"]["kernel"])
+    assert np.abs(w4 - w0).max() > 0       # update applied after window 2

@@ -152,24 +152,32 @@ def _mlp_block(layer, x, cfg: LlamaConfig = None):
 
 
 def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
-            attn_mask=None, interpret: bool = False):
+            attn_mask=None, interpret: bool = False, remat: bool = False):
     """Full forward (training / prefill without cache).
 
     inputs_embeds: [B, S, D]; position_ids: [B, S] or [S];
     attn_mask: optional [B, S] bool (right padding can omit it).
+    remat: rematerialize each decoder block on the backward pass
+    (HF --gradient_checkpointing equivalent, stage3_with_seg.sh:65).
 
     Returns (logits fp32 [B, S, V], hidden_states post-norm [B, S, D])."""
     x = inputs_embeds
     if position_ids.ndim == 1:
         position_ids = position_ids[None]
     cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
-    for layer in params["layers"]:
+
+    def block(layer, x, cos, sin, attn_mask):
         h = _norm(layer["input_layernorm"], cfg, x)
         a, _ = _attn_block(layer, cfg, h, cos, sin, causal=True,
                            kv_mask=attn_mask, interpret=interpret)
         x = x + a
         h = _norm(layer["post_attention_layernorm"], cfg, x)
-        x = x + _mlp_block(layer, h, cfg)
+        return x + _mlp_block(layer, h, cfg)
+
+    if remat:
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        x = block(layer, x, cos, sin, attn_mask)
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
     return logits, x

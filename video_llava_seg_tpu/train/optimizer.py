@@ -95,4 +95,10 @@ def build_optimizer(cfg: TrainConfig, params):
                                 b2=cfg.adam_b2, eps=cfg.adam_eps,
                                 weight_decay=wd))
     labels = param_labels(params)
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    if cfg.gradient_accumulation_steps > 1:
+        # micro-batch accumulation (DeepSpeed gradient_accumulation_steps /
+        # HF --gradient_accumulation_steps equivalent); train_loop steps are
+        # micro-steps, params update every k-th
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx

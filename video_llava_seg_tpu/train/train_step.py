@@ -37,7 +37,7 @@ def create_train_state(params, tcfg: TrainConfig) -> Tuple[TrainState, Any]:
 
 
 def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
-                 interpret: bool = False):
+                 interpret: bool = False, remat: bool = False):
     """Caption CE + optional mask loss for a spliced batch.
 
     batch keys: video [B,T,H,W,3], text_ids, gather_idx, position_ids,
@@ -46,7 +46,7 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
     (position of each [SEG]'s producing hidden state, -1 = none),
     has_masks [B] bool (caption-only samples take the dummy path)."""
     logits, hidden = llava.forward(params, cfg, batch["video"], batch,
-                                   interpret=interpret)
+                                   interpret=interpret, remat=remat)
     loss_text, num_tok = losses.text_ce_loss(logits, batch["labels"])
     metrics = {"loss_text": loss_text, "num_text_tokens": num_tok}
     total = loss_text
@@ -124,7 +124,8 @@ def make_train_step(cfg: VideoLlavaConfig, tcfg: TrainConfig, tx,
 
             base = {k: v for k, v in p.items() if k != "lora"}
             p = lora_mod.merge(base, p["lora"], tcfg.lora_alpha)
-        return compute_loss(p, cfg, batch, rng, interpret)
+        return compute_loss(p, cfg, batch, rng, interpret,
+                            remat=tcfg.gradient_checkpointing)
 
     def step_fn(state: TrainState, batch: Dict, rng):
         grad_fn = jax.value_and_grad(
