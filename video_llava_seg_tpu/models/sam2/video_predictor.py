@@ -83,7 +83,8 @@ class SAM2VideoPredictor:
         self._encode_jit = jax.jit(self._encode_impl)
         self._track_jit = jax.jit(
             self._track_impl,
-            static_argnames=("has_points", "use_memory", "multimask"))
+            static_argnames=("has_points", "use_memory", "multimask",
+                             "run_mem_encoder", "is_pts"))
         self._mask_as_output_jit = jax.jit(self._mask_as_output_impl)
         self._encode_mem_jit = jax.jit(self._encode_mem_impl,
                                        static_argnames=("is_pts",))
@@ -111,14 +112,25 @@ class SAM2VideoPredictor:
     def _track_impl(self, feats, coords, labels, prev_mask,
                     mem_feats, slot_tpos, slot_valid, ptrs, ptr_tpos,
                     ptr_valid, *, has_points: bool, use_memory: bool,
-                    multimask: bool):
-        """One frame of tracking for B objects (batched along dim 0).
+                    multimask: bool, run_mem_encoder: bool = False,
+                    is_pts: bool = False):
+        """One frame of tracking for B objects (batched along dim 0),
+        optionally fused with the memory encoder (one dispatch per frame).
 
-        feats: 3-level tuple, each [B, h, w, c]. Memory inputs are the fixed
-        slot bank (zeros + valid=False on empty slots)."""
+        feats: 3-level tuple, each [B, h, w, c]. mem_feats: either the
+        stacked bank [B, S, HW, mem] or a LIST of S per-slot [B, HW, mem]
+        views (concatenated in-graph — keeps slot assembly off the host);
+        ptrs likewise [B, P, C] or list of P [B, C]. Invalid slots carry
+        arbitrary content and are masked via slot_valid/ptr_valid."""
         cfg = self.cfg
         low = feats[-1]
         b, h, w, c = low.shape
+        if isinstance(mem_feats, (list, tuple)):
+            mem_feats = jnp.stack(
+                [m.reshape(m.shape[0], -1, m.shape[-1]) for m in mem_feats],
+                axis=1)
+        if isinstance(ptrs, (list, tuple)):
+            ptrs = jnp.stack(ptrs, axis=1)
 
         if not use_memory:
             # init cond frame: directly add no_mem_embed (sam2_base.py:653-659)
@@ -139,10 +151,16 @@ class SAM2VideoPredictor:
             interpret=self.interpret)
         (_, _, ious, low_res_masks, high_res_masks, obj_ptr,
          object_score_logits) = outs
+        maskmem = None
+        if run_mem_encoder and cfg.num_maskmem > 0:
+            maskmem, _ = base.encode_new_memory(
+                self.params, cfg, pix, high_res_masks, object_score_logits,
+                is_mask_from_pts=is_pts)
+            maskmem = maskmem.astype(jnp.bfloat16)
         # masks/scores leave the jit in fp32 (host postprocess + numpy)
         return (low_res_masks.astype(jnp.float32),
                 high_res_masks.astype(jnp.float32), obj_ptr,
-                object_score_logits.astype(jnp.float32), pix)
+                object_score_logits.astype(jnp.float32), pix, maskmem)
 
     def _condition_on_memory(self, low, mem_feats, slot_tpos, slot_valid,
                              ptrs, ptr_tpos, ptr_valid):
@@ -449,9 +467,10 @@ class SAM2VideoPredictor:
                 out = unselected_cond.get(prev_idx)
             t_pos_and_prevs.append((t_pos, out))
 
-        # memory features stay ON DEVICE (no host round-trip — the bank is
-        # ~10 MB/frame; the reference likewise keeps maskmem on GPU unless
-        # offload_state_to_cpu)
+        # memory features stay ON DEVICE and UNSTACKED (no host round-trip,
+        # no eager concat — the track jit stacks the fixed-length slot list
+        # in-graph); empty slots repeat an existing view and are masked out
+        # by slot_valid inside attention
         slot_feats = []
         slot_tpos = np.zeros((S,), np.int32)
         slot_valid = np.zeros((S,), bool)
@@ -459,17 +478,17 @@ class SAM2VideoPredictor:
         for t_pos, prev in t_pos_and_prevs:
             if prev is None or slot >= S:
                 continue
-            feats = prev["maskmem_features"]        # [B, H, W, mem_dim] dev
-            slot_feats.append(jnp.reshape(feats,
-                                          (batch_size, 1, hw, mem_dim)))
+            # [B, H, W, mem_dim] device view, reshaped in-graph by the jit
+            slot_feats.append(prev["maskmem_features"])
             slot_tpos[slot] = cfg.num_maskmem - t_pos - 1
             slot_valid[slot] = True
             slot += 1
-        dt = (slot_feats[0].dtype if slot_feats else self.compute_dtype)
-        if slot < S:
-            slot_feats.append(jnp.zeros(
-                (batch_size, S - slot, hw, mem_dim), dt))
-        mem_feats = jnp.concatenate(slot_feats, axis=1)
+        if not slot_feats:
+            slot_feats.append(jnp.zeros((batch_size, s, s, mem_dim),
+                                        self.compute_dtype))
+        while len(slot_feats) < S:
+            slot_feats.append(slot_feats[0])
+        mem_feats = slot_feats
 
         # object pointers (sam2_base:591-650) — also device-resident
         ptr_list = []
@@ -498,30 +517,24 @@ class SAM2VideoPredictor:
                 if out is not None:
                     pos_and_ptrs.append((t_diff, out["obj_ptr"]))
             for i, (td, ptr) in enumerate(pos_and_ptrs[:P]):
-                ptr_list.append(jnp.reshape(ptr, (batch_size, 1, C)))
+                ptr_list.append(ptr)             # [B, C] device view
                 ptr_tpos[i] = td
                 ptr_valid[i] = True
-        n_ptr = len(ptr_list)
-        pdt = (ptr_list[0].dtype if ptr_list else self.compute_dtype)
-        if n_ptr < P:
-            ptr_list.append(jnp.zeros((batch_size, P - n_ptr, C), pdt))
-        ptrs = jnp.concatenate(ptr_list, axis=1)
+        if not ptr_list:
+            ptr_list.append(jnp.zeros((batch_size, C), self.compute_dtype))
+        while len(ptr_list) < P:
+            ptr_list.append(ptr_list[0])
 
-        return (mem_feats, jnp.asarray(slot_tpos),
-                jnp.asarray(slot_valid), ptrs,
-                jnp.asarray(ptr_tpos), jnp.asarray(ptr_valid))
+        return (mem_feats, slot_tpos, slot_valid, ptr_list,
+                ptr_tpos, ptr_valid)
 
     def _empty_memory(self, batch_size: int):
-        cfg = self.cfg
-        s = cfg.image_embedding_size
-        hw = s * s
-        return (jnp.zeros((batch_size, self.num_slots, hw, cfg.mem_dim)),
-                jnp.zeros((self.num_slots,), jnp.int32),
-                jnp.zeros((self.num_slots,), bool),
-                jnp.zeros((batch_size, cfg.max_obj_ptrs_in_encoder,
-                           cfg.hidden_dim)),
-                jnp.zeros((cfg.max_obj_ptrs_in_encoder,), jnp.float32),
-                jnp.zeros((cfg.max_obj_ptrs_in_encoder,), bool))
+        """Placeholder memory args for init-cond frames (use_memory=False
+        compiles its own trace, so these can be minimal)."""
+        return ([jnp.zeros((1, 1, 1, 1), self.compute_dtype)],
+                np.zeros((1,), np.int32), np.zeros((1,), bool),
+                [jnp.zeros((1, 1), self.compute_dtype)],
+                np.zeros((1,), np.float32), np.zeros((1,), bool))
 
     # ------------------------------------------------------------------
     # core per-frame inference
@@ -552,6 +565,7 @@ class SAM2VideoPredictor:
             (_, _, _, low_res_masks, high_res_masks, obj_ptr,
              object_score_logits) = outs
             pix = feats[-1]
+            maskmem = None
         else:
             if is_init_cond_frame:
                 mem = self._empty_memory(batch_size)
@@ -570,10 +584,13 @@ class SAM2VideoPredictor:
                 prev_mask = jnp.transpose(
                     jnp.asarray(prev_sam_mask_logits), (0, 2, 3, 1))
             multimask = self._use_multimask(is_init_cond_frame, point_inputs)
-            low_res_masks, high_res_masks, obj_ptr, object_score_logits, pix = (
-                self._track_jit(feats, coords, labels, prev_mask, *mem,
-                                has_points=has_points, use_memory=use_memory,
-                                multimask=multimask))
+            (low_res_masks, high_res_masks, obj_ptr, object_score_logits,
+             pix, maskmem) = self._track_jit(
+                feats, coords, labels, prev_mask, *mem,
+                has_points=has_points, use_memory=use_memory,
+                multimask=multimask,
+                run_mem_encoder=run_mem_encoder and cfg.num_maskmem > 0,
+                is_pts=point_inputs is not None)
 
         if self.fill_hole_area > 0:
             low_res_masks = self._fill_holes_jit(low_res_masks)
@@ -586,11 +603,12 @@ class SAM2VideoPredictor:
             "object_score_logits": object_score_logits,
         }
         if run_mem_encoder and cfg.num_maskmem > 0:
-            maskmem_features, _ = self._encode_mem_jit(
-                pix, high_res_masks, object_score_logits,
-                is_pts=point_inputs is not None)
-            current_out["maskmem_features"] = maskmem_features.astype(
-                jnp.bfloat16)
+            if maskmem is None:  # mask-as-output path: encode separately
+                maskmem, _ = self._encode_mem_jit(
+                    pix, high_res_masks, object_score_logits,
+                    is_pts=point_inputs is not None)
+                maskmem = maskmem.astype(jnp.bfloat16)
+            current_out["maskmem_features"] = maskmem
         return current_out, low_res_masks
 
     def _run_memory_encoder(self, state, frame_idx, batch_size,
