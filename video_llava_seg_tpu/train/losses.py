@@ -173,7 +173,8 @@ _solve_assignment.defvjp(_solve_fwd, _solve_bwd)
 
 
 def mask_loss(pred_masks, gt_masks, valid_mask=None, key=None,
-              dummy: bool = False, align: bool = True, pixel_mask=None):
+              dummy: bool = False, align: bool = True, pixel_mask=None,
+              dice_weight=None, ce_weight=None):
     """Full MaskLoss for one video (mask_loss.py:20-65 semantics).
 
     pred_masks: [N, T, H, W] logits; gt_masks: [N, T, H, W] bool;
@@ -217,6 +218,8 @@ def mask_loss(pred_masks, gt_masks, valid_mask=None, key=None,
                 "num_masks": jnp.zeros(())}
     ld = jnp.sum(ld_pm) / (num_masks + 1e-8)
     lc = jnp.sum(lc_pm) / (num_masks + 1e-8)
+    dw = DICE_WEIGHT if dice_weight is None else dice_weight
+    cw = CE_WEIGHT if ce_weight is None else ce_weight
     return {"loss_mask_dice": ld, "loss_mask_ce": lc,
-            "loss_mask": ld * DICE_WEIGHT + lc * CE_WEIGHT,
+            "loss_mask": ld * dw + lc * cw,
             "mask_ious": ious, "num_masks": num_masks}

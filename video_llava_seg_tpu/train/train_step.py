@@ -37,7 +37,8 @@ def create_train_state(params, tcfg: TrainConfig) -> Tuple[TrainState, Any]:
 
 
 def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
-                 interpret: bool = False, remat: bool = False):
+                 interpret: bool = False, remat: bool = False,
+                 dice_w=None, ce_w=None):
     """Caption CE + optional mask loss for a spliced batch.
 
     batch keys: video [B,T,H,W,3], text_ids, gather_idx, position_ids,
@@ -90,7 +91,8 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
                      & batch["seg_frame_valid"][bi][None, :])
             key = jax.random.fold_in(rng, bi)
             out_real = losses.mask_loss(pred, gt, valid_mask=valid, key=key,
-                                        dummy=False, pixel_mask=pixel_mask)
+                                        dummy=False, pixel_mask=pixel_mask,
+                                        dice_weight=dice_w, ce_weight=ce_w)
             out_dummy = losses.mask_loss(pred, gt, valid_mask=valid,
                                          dummy=True, align=False)
             use_dummy = jnp.logical_not(batch["has_masks"][bi])
@@ -125,7 +127,9 @@ def make_train_step(cfg: VideoLlavaConfig, tcfg: TrainConfig, tx,
             base = {k: v for k, v in p.items() if k != "lora"}
             p = lora_mod.merge(base, p["lora"], tcfg.lora_alpha)
         return compute_loss(p, cfg, batch, rng, interpret,
-                            remat=tcfg.gradient_checkpointing)
+                            remat=tcfg.gradient_checkpointing,
+                            dice_w=tcfg.mask_dice_weight,
+                            ce_w=tcfg.mask_ce_weight)
 
     def step_fn(state: TrainState, batch: Dict, rng):
         grad_fn = jax.value_and_grad(
