@@ -71,6 +71,12 @@ class SAM2ImagePredictor:
 
     # ------------------------------------------------------------------
     def _encode_impl(self, images):
+        # raw [B, H, W, 3] uint8/float frames: resize+normalize IN-GRAPH
+        # (one dispatch per set_image; retraces per input resolution, like
+        # the reference's per-image CPU transform cost but fused on device)
+        if images.shape[1:3] != (self.cfg.image_size, self.cfg.image_size) \
+                or images.dtype == jnp.uint8:
+            images = jax.vmap(self._transforms._prep)(images)
         images = images.astype(self.compute_dtype)
         out = base.forward_image(self.params, self.cfg, images,
                                  self.interpret)
@@ -94,8 +100,8 @@ class SAM2ImagePredictor:
         else:
             image = np.asarray(image)
             self._orig_hw = [image.shape[:2]]
-        x = self._transforms(image)[None]
-        self._features = self._encode(x)
+        # raw frame in; transform happens inside the encode jit
+        self._features = self._encode(jnp.asarray(image)[None])
         self._is_image_set = True
 
     def set_image_batch(self, image_list: List[np.ndarray]) -> None:
