@@ -61,7 +61,8 @@ class SAM2ImagePredictor:
         self._encode = jax.jit(functools.partial(self._encode_impl))
         self._decode = jax.jit(
             functools.partial(self._decode_impl),
-            static_argnames=("multimask_output", "has_mask"))
+            static_argnames=("multimask_output", "has_mask", "orig_hw",
+                             "return_logits"))
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs) -> "SAM2ImagePredictor":
@@ -114,7 +115,8 @@ class SAM2ImagePredictor:
 
     # ------------------------------------------------------------------
     def _decode_impl(self, image_embed, high_res_feats, coords, labels,
-                     mask_input, multimask_output: bool, has_mask: bool):
+                     mask_input, multimask_output: bool, has_mask: bool,
+                     orig_hw=None, return_logits: bool = True):
         cfg = self.cfg
         sparse, dense = prompt_encoder.apply(
             self.params["prompt_encoder"], cfg, coords, labels,
@@ -125,7 +127,16 @@ class SAM2ImagePredictor:
             self.params["mask_decoder"], cfg, image_embed, image_pe, sparse,
             dense, multimask_output=multimask_output,
             high_res_features=list(high_res_feats), interpret=self.interpret)
-        return low_res.astype(jnp.float32), ious.astype(jnp.float32)
+        low_res = low_res.astype(jnp.float32)
+        ious = ious.astype(jnp.float32)
+        if orig_hw is None:
+            return low_res, ious
+        # postprocess fused in-graph: hole fill + resize to original dims;
+        # threshold in-graph too (bool leaves the device 4x smaller)
+        masks = self._transforms.postprocess_masks(low_res, orig_hw)
+        if not return_logits:
+            masks = masks > self.mask_threshold
+        return masks, ious, jnp.clip(low_res, -32.0, 32.0)
 
     def _prep_prompts(self, point_coords, point_labels, box, mask_input,
                       normalize_coords, img_idx: int):
@@ -185,16 +196,13 @@ class SAM2ImagePredictor:
             img_idx)
         image_embed = self._features["image_embed"][img_idx][None]
         high_res = [f[img_idx][None] for f in self._features["high_res_feats"]]
-        low_res, ious = self._decode(
+        masks, ious, low_res = self._decode(
             image_embed, tuple(high_res), jnp.asarray(coords),
             jnp.asarray(labels), jnp.asarray(m),
             multimask_output=multimask_output,
-            has_mask=mask_input is not None)
-        masks = self._transforms.postprocess_masks(low_res,
-                                                   self._orig_hw[img_idx])
-        low_res = jnp.clip(low_res, -32.0, 32.0)
-        if not return_logits:
-            masks = masks > self.mask_threshold
+            has_mask=mask_input is not None,
+            orig_hw=tuple(self._orig_hw[img_idx]),
+            return_logits=bool(return_logits))
         return (np.asarray(masks[0]), np.asarray(ious[0]),
                 np.asarray(low_res[0]))
 
