@@ -295,6 +295,9 @@ class TrainConfig:
     freeze_projector: bool = False
     freeze_seg_encoder: bool = False
     freeze_seg_decoder: bool = False
+    # stage-1: also persist the projector alone (mm_projector.bin parity,
+    # train.py:144-171)
+    save_projector_only: bool = False
     # LoRA (data_classes.py:85-89 defaults; adapters over LLM projections,
     # base LLM frozen; merged on-the-fly each step — see train/lora.py)
     lora_enable: bool = False

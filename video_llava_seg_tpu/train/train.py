@@ -237,6 +237,10 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
             data_iter = prefetch_to_device(gen(), size=2)
 
         state = train_loop(state, step_fn, data_iter, tcfg, to_json(cfg))
+        if tcfg.save_projector_only:
+            from video_llava_seg_tpu.train.trainer import save_projector_only
+
+            save_projector_only(tcfg.output_dir, state.params)
     return state
 
 
@@ -246,7 +250,7 @@ STAGE_PRESETS = {
     # stage1_pretrain.sh: projector-only warmup on caption data, lr 1e-3
     "stage1": dict(dataset="captions", freeze_llm=True,
                    freeze_vision_tower=True, lrs=dict(projector=1e-3),
-                   with_seg=False),
+                   with_seg=False, save_projector_only=True),
     # stage2_finetune.sh: full LLM+tower+projector finetune on captions
     "stage2": dict(dataset="captions", lrs=dict(llm=2e-5, vision_tower=2e-6,
                                                 projector=2e-5),
@@ -307,6 +311,7 @@ def main():
         save_steps=args.save_steps,
         freeze_llm=preset.get("freeze_llm", False),
         freeze_vision_tower=preset.get("freeze_vision_tower", False),
+        save_projector_only=preset.get("save_projector_only", False),
         lora_enable=args.lora_enable, lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
         lrs=OptimGroupLRs(**lr_over),

@@ -85,6 +85,21 @@ def save_checkpoint(output_dir: str, step: int, state, cfg_json: str,
     return path
 
 
+def save_projector_only(output_dir: str, params) -> str:
+    """Stage-1 artifact: persist just the mm projector, the counterpart of
+    the reference's mm_projector.bin (train.py:144-171 —
+    safe_save_model_for_hf_trainer with tune_mm_mlp_adapter). Restored by
+    convert/llava_torch.load_llava_weights or orbax directly."""
+    import orbax.checkpoint as ocp
+
+    path = osp.join(output_dir, "mm_projector")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(osp.abspath(path), {"mm_projector": params["mm_projector"]},
+               force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
 def restore_checkpoint(path: str, state):
     import orbax.checkpoint as ocp
 
