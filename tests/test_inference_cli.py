@@ -1,0 +1,147 @@
+"""End-to-end ViCaS inference CLI smoke (llava/inference/main.py parity):
+synthetic dataset fixture + tiny model + fake tokenizer -> run_inference ->
+output JSON schema, resume behavior, chunked sharding."""
+
+import dataclasses
+import json
+import os
+import os.path as osp
+import types
+
+import numpy as np
+import pytest
+
+
+class FakeTokenizer:
+    """Char-hash tokenizer implementing the surface tokenizer_image_token /
+    run_inference use: __call__().input_ids, bos/convert/decode."""
+
+    bos_token_id = 1
+
+    def __call__(self, text):
+        ids = [self.bos_token_id] + [5 + (ord(c) % 350) for c in text]
+        return types.SimpleNamespace(input_ids=ids)
+
+    def convert_tokens_to_ids(self, tok):
+        return {"<|eot_id|>": 2}.get(tok, -1)
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"t{int(i)}" for i in ids)
+
+
+def _write_fixture(root, video_id=7, n_frames=4, hw=(48, 64)):
+    """Create ViCaS-layout dirs: videos/, video_frames/, annotations/,
+    splits/ under `root` (paths.py layout)."""
+    import cv2
+
+    from video_llava_seg_tpu.ops.masks import encode_rle
+
+    h, w = hw
+    vicas = osp.join(root, "ViCaS")
+    os.makedirs(osp.join(vicas, "videos"))
+    frames_dir = osp.join(vicas, "video_frames", f"{video_id:06d}")
+    os.makedirs(frames_dir)
+    ann_dir = osp.join(vicas, "annotations", "v1.0")
+    os.makedirs(ann_dir)
+    splits_dir = osp.join(vicas, "splits", "v1.0")
+    os.makedirs(splits_dir)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+    vw = cv2.VideoWriter(osp.join(vicas, "videos", "vid7.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 5, (w, h))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+    segmentations = []
+    mask = np.zeros((h, w), np.uint8)
+    mask[10:30, 10:40] = 1
+    rle = encode_rle(mask)
+    rle["counts"] = rle["counts"].decode("utf-8")
+    for t in range(n_frames):
+        name = f"{t:05d}.jpg"
+        cv2.imwrite(osp.join(frames_dir, name), frames[t][..., ::-1])
+        segmentations.append({"filename": name, "is_gt": True,
+                              "track_ids": [1], "mask_rles": [rle]})
+    content = {
+        "video_id": video_id,
+        "filename": "vid7.mp4",
+        "caption_raw_en": "a synthetic scene",
+        "caption_parsed_en_gpt": "a synthetic scene",
+        "object_referrals": [{"prompt": "the bright region",
+                              "track_ids": [1]}],
+        "segmentations": segmentations,
+    }
+    with open(osp.join(ann_dir, f"{video_id:06d}.json"), "w") as fh:
+        json.dump(content, fh)
+    with open(osp.join(splits_dir, "val.json"), "w") as fh:
+        json.dump([video_id], fh)
+    return vicas
+
+
+@pytest.fixture()
+def vicas_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("VIDEONET_DATASETS_DIR", str(tmp_path))
+    _write_fixture(str(tmp_path))
+    return tmp_path
+
+
+def _tiny_model():
+    import jax
+
+    from video_llava_seg_tpu.config import SegHeadConfig, VideoLlavaConfig
+    from video_llava_seg_tpu.models import llava
+
+    cfg = VideoLlavaConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        seg=SegHeadConfig(seg_backbone="tiny", image_size=64,
+                          max_seg_frames=4, max_objects=2),
+        seg_token_idx=400)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    return params, cfg, FakeTokenizer()
+
+
+def test_run_inference_end_to_end(vicas_env, tmp_path):
+    from video_llava_seg_tpu.inference.main import run_inference
+
+    out_dir = str(tmp_path / "out")
+    args = types.SimpleNamespace(
+        model_path="unused", gt_dir=None, output_dir=out_dir,
+        num_chunks=1, chunk_idx=0, overwrite=False, print_captions=False,
+        dataset_version="v1.0", dataset_split="val", skip_seg=False,
+        skip_captions=False, max_new_tokens=4, temperature=0.0,
+        top_p=None, num_beams=1, conv_template="llava_llama_3",
+        seg_pad_mode="topleft")
+    run_inference(args, model=_tiny_model())
+
+    out_path = osp.join(out_dir, "000007.json")
+    assert osp.exists(out_path)
+    with open(out_path) as fh:
+        pred = json.load(fh)
+    assert pred["video_id"] == 7
+    assert isinstance(pred["pred_caption"], str) and pred["pred_caption"]
+    assert isinstance(pred["pred_lgvis_masks"], list)
+    assert len(pred["pred_lgvis_masks"]) == 1  # one referral
+    for frame_entry in pred["pred_lgvis_masks"][0]:
+        assert set(frame_entry) == {"filename", "mask_rles"}
+
+    # resume: a second run with the output present processes nothing
+    mtime = os.path.getmtime(out_path)
+    run_inference(args, model=_tiny_model())
+    assert os.path.getmtime(out_path) == mtime
+
+
+def test_chunked_sharding_excludes_other_chunks(vicas_env, tmp_path):
+    from video_llava_seg_tpu.inference.main import get_video_list
+    from video_llava_seg_tpu.paths import Paths
+
+    gt_dir = str(Paths.vicas_annotations_dir("v1.0"))
+    out = str(tmp_path / "out2")
+    os.makedirs(out, exist_ok=True)
+    # one video, two chunks: chunk 0 gets it, chunk 1 gets nothing
+    lst0 = get_video_list(gt_dir, "v1.0", "val", out, False, 0, 2)
+    assert len(lst0) == 1
+    lst1 = get_video_list(gt_dir, "v1.0", "val", out, False, 1, 2)
+    assert lst1 == []

@@ -48,7 +48,9 @@ def split_list(lst, n):
 
 
 def get_chunk(lst, n, k):
-    return split_list(lst, n)[k]
+    chunks = split_list(lst, n)
+    # fewer chunks than processes (len(lst) < n): trailing chunks are empty
+    return chunks[k] if k < len(chunks) else []
 
 
 def get_video_list(gt_dir, version, split, output_dir, overwrite, chunk_idx,
@@ -182,13 +184,20 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
     return text, pred_mask_logits
 
 
-def run_inference(args):
+def run_inference(args, model=None):
+    """ViCaS inference loop (main.py:146-312 parity).
+
+    model: optional preloaded (params, cfg, tokenizer) triple — used by
+    tests and by callers that already hold the model in memory."""
     import jax
 
-    params, cfg, tokenizer = load_model(
-        args.model_path,
-        load_bits=8 if getattr(args, "load_8bit", False)
-        else 4 if getattr(args, "load_4bit", False) else None)
+    if model is not None:
+        params, cfg, tokenizer = model
+    else:
+        params, cfg, tokenizer = load_model(
+            args.model_path,
+            load_bits=8 if getattr(args, "load_8bit", False)
+            else 4 if getattr(args, "load_4bit", False) else None)
     fetcher = VideoAndFrameFetcher(args)
     gt_dir = args.gt_dir or str(Paths.vicas_annotations_dir(
         args.dataset_version))
