@@ -17,6 +17,9 @@ class FakeTokenizer:
     run_inference use: __call__().input_ids, bos/convert/decode."""
 
     bos_token_id = 1
+    pad_token_id = 0
+    eos_token_id = 2
+    model_max_length = 512
 
     def __call__(self, text):
         ids = [self.bos_token_id] + [5 + (ord(c) % 350) for c in text]

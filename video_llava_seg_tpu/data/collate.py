@@ -71,11 +71,9 @@ class DataCollator:
             seg_padding = np.zeros((b, 4), np.int32)
             seg_token_pos = np.zeros((b, n_cap), np.int32)
             has_masks = np.zeros((b,), bool)
-            seg_meta: List = []
             for bi, inst in enumerate(instances):
                 frames = inst.get("seg_frames")
                 meta = inst.get("seg_meta", {})
-                seg_meta.append(meta)
                 if frames is None:
                     continue
                 t = min(frames.shape[0], t_cap)
@@ -106,7 +104,9 @@ class DataCollator:
                 "seg_padding": seg_padding, "seg_token_pos": seg_token_pos,
                 "has_masks": has_masks,
             })
-            batch["seg_meta"] = seg_meta
+            # NOTE: per-sample seg_meta dicts stay host-side (the loss needs
+            # only seg_padding); a non-array leaf would break the jitted
+            # step and device prefetch
         return batch
 
 
