@@ -175,13 +175,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
 
 def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                          scale: float, causal: bool, block_q: int,
-                         q_offset: int):
+                         q_offset: int, sum_col: int = -1):
     """One-kv-block fast path: plain softmax per q block, no online stats.
 
     KV padding is handled by an additive bias row [1, skv_p] (0 / -inf),
     precomputed once on host — an add instead of per-element iota+where,
     which matters because this kernel is VPU-bound at short sequence
-    lengths (the ViT / SAM2 decoder regime)."""
+    lengths (the ViT / SAM2 decoder regime).
+
+    sum_col >= 0: the head dim is padded and v carries a ones-column at
+    that index, so the softmax denominator rides the p@v matmul (MXU)
+    instead of a VPU row reduction."""
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -195,15 +199,18 @@ def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         s = jnp.where(col <= row, s, _MASK_VALUE)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
     v = v_ref[0, 0]
     acc = jax.lax.dot(p.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
+    if sum_col >= 0:
+        l = acc[:, sum_col:sum_col + 1]
+    else:
+        l = jnp.sum(p, axis=1, keepdims=True)
     o_ref[0, 0] = (acc * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
-                        q_offset, interpret, kv_bias=None):
+                        q_offset, interpret, kv_bias=None, sum_col=-1):
     """pallas_call wrapper for the single-kv-block path.
 
     kv_bias: optional [B, Skv-unpadded] additive fp32 bias (e.g. -inf on
@@ -223,7 +230,7 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
         bias_index = lambda b, h, iq: (0, 0)  # noqa: E731
     kernel = functools.partial(
         _flash_kernel_single, scale=scale, causal=causal, block_q=block_q,
-        q_offset=q_offset)
+        q_offset=q_offset, sum_col=sum_col)
     return pl.pallas_call(
         kernel,
         grid=(B, Hq, num_q_blocks),
@@ -281,10 +288,14 @@ def flash_attention(q, k, v, *, causal: bool = False,
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D)))
         kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
         vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
+        # NOTE: riding the softmax denominator on a ones-column of v's
+        # padding (sum_col) measured SLOWER end-to-end (the extra pass over
+        # v outweighs the saved VPU row reduction); kernel support remains
+        # but the fast path keeps the in-kernel sum.
         out = _flash_single_block(qp, kp, vp, causal=causal, scale=scale,
                                   block_q=block_q, skv_p=skv_p, kv_len=Skv,
                                   q_offset=Skv - Sq, interpret=interpret,
-                                  kv_bias=kv_bias)
+                                  kv_bias=kv_bias, sum_col=-1)
         return out[:, :, :Sq, :D]
 
     block_q = min(block_q, _ceil_to(Sq, _LANES))
