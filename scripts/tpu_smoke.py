@@ -1,0 +1,150 @@
+"""Single-chip TPU smoke: flash-attention grad parity + one real train step.
+
+The CPU test suite runs Pallas in interpret mode and the XLA attention path,
+so it structurally cannot catch Mosaic-compilation or TPU-training breakage
+(round-1 verdict: training could not backprop on the real chip because the
+flash kernel had no VJP). This script runs on the default (axon TPU) platform:
+
+  1. flash_attention forward + backward (Mosaic-compiled) vs the XLA
+     reference at a Llama-3-like shape and a GQA shape.
+  2. One full make_train_step step (tiny config incl. seg head) on the chip,
+     asserting a finite loss.
+
+Run: python scripts/tpu_smoke.py   (~2-4 min incl. compiles over the tunnel)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+
+def check_flash_grads():
+    import jax
+    import jax.numpy as jnp
+
+    from video_llava_seg_tpu.ops.attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    print(f"devices: {jax.devices()}")
+    assert jax.devices()[0].platform in ("tpu", "axon"), jax.devices()
+
+    cases = [
+        # (B, Hq, Hkv, Sq, Skv, D, causal)  llama-like + GQA + short-kv
+        (1, 8, 8, 1024, 1024, 128, True),
+        (1, 8, 2, 2048, 2048, 128, True),
+        (2, 4, 4, 577, 577, 64, False),   # ViT regime (single-block path)
+    ]
+    for B, Hq, Hkv, Sq, Skv, D, causal in cases:
+        key = jax.random.PRNGKey(0)
+        kq, kk, kv, kw = jax.random.split(key, 4)
+        q = jax.random.normal(kq, (B, Hq, Sq, D), jnp.bfloat16)
+        k = jax.random.normal(kk, (B, Hkv, Skv, D), jnp.bfloat16)
+        v = jax.random.normal(kv, (B, Hkv, Skv, D), jnp.bfloat16)
+        w = jax.random.normal(kw, (B, Hq, Sq, D), jnp.bfloat16)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=causal)
+                           .astype(jnp.float32) * w.astype(jnp.float32))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v, causal=causal)
+                           .astype(jnp.float32) * w.astype(jnp.float32))
+
+        t0 = time.time()
+        got = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        got = jax.device_get(got)
+        want = jax.device_get(
+            jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v))
+        for g, r, name in zip(got, want, "qkv"):
+            err = np.max(np.abs(np.asarray(g, np.float32)
+                                - np.asarray(r, np.float32)))
+            denom = np.max(np.abs(np.asarray(r, np.float32))) + 1e-6
+            rel = err / denom
+            assert rel < 5e-2, (name, rel, err)
+        print(f"  flash grad ok B={B} Hq={Hq} Hkv={Hkv} Sq={Sq} Skv={Skv} "
+              f"D={D} causal={causal} ({time.time()-t0:.1f}s)")
+
+
+def check_train_step():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from video_llava_seg_tpu.config import (
+        MeshConfig,
+        SegHeadConfig,
+        TrainConfig,
+        VideoLlavaConfig,
+    )
+    from video_llava_seg_tpu.constants import IMAGE_TOKEN_INDEX
+    from video_llava_seg_tpu.models import llava
+    from video_llava_seg_tpu.models import seg_head as seg_head_mod
+    from video_llava_seg_tpu.models.sam2.config import sam2_tiny_test_config
+    from video_llava_seg_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    base = VideoLlavaConfig.tiny()
+    seg = SegHeadConfig(seg_backbone="tiny", image_size=64, max_seg_frames=2,
+                        max_objects=2, seg_num_queries=1)
+    sam2_cfg = dataclasses.replace(sam2_tiny_test_config(), image_size=64)
+    orig_make = seg_head_mod.make_sam2_cfg
+    seg_head_mod.make_sam2_cfg = lambda c: sam2_cfg
+    try:
+        cfg = dataclasses.replace(base, seg=seg, seg_token_idx=7)
+        params = llava.init(jax.random.PRNGKey(0), cfg)
+        tcfg = TrainConfig(num_train_steps=10, mesh=MeshConfig())
+        state, tx = create_train_state(params, tcfg)
+        step = make_train_step(cfg, tcfg, tx, donate=False)
+
+        b = 2
+        tpi = llava.visual_tokens_per_sample(cfg)
+        ids = np.concatenate([
+            np.asarray([[1, cfg.seg_token_idx]] * b),
+            np.full((b, len(tpi)), IMAGE_TOKEN_INDEX),
+            np.asarray([[3, 4]] * b),
+        ], axis=1)
+        labels = np.where(ids < 0, -100, ids)
+        plan = llava.build_splice_plan(ids, tpi, labels)
+        s = cfg.vision.image_size
+        ss = sam2_cfg.image_size
+        batch = {
+            "video": jnp.zeros((b, cfg.num_frames, s, s, 3)),
+            "text_ids": jnp.asarray(plan.text_ids),
+            "gather_idx": jnp.asarray(plan.gather_idx),
+            "position_ids": jnp.asarray(plan.position_ids),
+            "labels": jnp.asarray(plan.labels),
+            "seg_frames": jnp.zeros((b, seg.max_seg_frames, ss, ss, 3)),
+            "seg_masks": jnp.zeros(
+                (b, seg.max_objects, seg.max_seg_frames, ss, ss), bool),
+            "seg_valid": jnp.ones((b, seg.max_objects), bool),
+            "seg_frame_valid": jnp.ones((b, seg.max_seg_frames), bool),
+            "seg_padding": jnp.zeros((b, 4), jnp.int32),
+            "seg_token_pos": jnp.ones((b, seg.max_objects), jnp.int32),
+            "has_masks": jnp.ones((b,), bool),
+        }
+        t0 = time.time()
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        loss = float(jax.device_get(metrics["loss"]))
+        assert np.isfinite(loss), f"non-finite loss: {loss}"
+        # a second step to confirm the optimizer update applied cleanly
+        state, metrics2 = step(state, batch, jax.random.PRNGKey(2))
+        loss2 = float(jax.device_get(metrics2["loss"]))
+        assert np.isfinite(loss2), f"non-finite loss2: {loss2}"
+        print(f"  train step ok on {jax.devices()[0].platform}: "
+              f"loss={loss:.4f} -> {loss2:.4f} ({time.time()-t0:.1f}s)")
+    finally:
+        seg_head_mod.make_sam2_cfg = orig_make
+
+
+if __name__ == "__main__":
+    check_flash_grads()
+    check_train_step()
+    print("TPU smoke: ALL OK")

@@ -54,6 +54,82 @@ def test_causal_first_token_ignores_future(rng):
                                np.asarray(v[0, 0, 0]), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,Sq,Skv,D",
+    [
+        (1, 2, 2, 128, 128, 64),     # plain self-attn (single-block regime)
+        (2, 4, 2, 256, 256, 32),     # GQA
+        (1, 2, 2, 100, 100, 96),     # unaligned seq + head dim
+        (1, 1, 1, 64, 320, 128),     # cross-attn, ragged kv
+        (1, 2, 1, 200, 1500, 64),    # multi-kv-block regime + GQA
+    ],
+)
+def test_flash_grad_matches_reference(rng, causal, B, Hq, Hkv, Sq, Skv, D):
+    """custom_vjp backward kernels vs differentiated XLA reference."""
+    q, k, v = _rand_qkv(rng, B, Hq, Hkv, Sq, Skv, D)
+    w = jax.random.normal(jax.random.fold_in(rng, 7), (B, Hq, Sq, D))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal,
+                                       interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=causal) * w)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+
+
+def test_flash_grad_kv_bias(rng):
+    """Gradients flow correctly through masked (fixed-slot) attention."""
+    q, k, v = _rand_qkv(rng, 2, 4, 4, 100, 300, 64)
+    mask = jax.random.bernoulli(jax.random.fold_in(rng, 3), 0.7, (2, 300))
+    mask = mask.at[:, 0].set(True)
+    bias = jnp.where(mask, 0.0, -0.7 * float(jnp.finfo(jnp.float32).max))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_bias=bias,
+                                       interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, kv_mask=mask) ** 2)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4,
+                                   err_msg=f"d{name} mismatch")
+    # masked-out keys receive zero gradient
+    dk = np.asarray(got[1])
+    np.testing.assert_allclose(
+        dk[~np.asarray(mask)[:, None, :].repeat(4, 1)], 0.0, atol=1e-6)
+
+
+def test_flash_grad_bf16(rng):
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 128, 64, jnp.bfloat16)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True,
+                                       interpret=True).astype(jnp.float32))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True).astype(
+            jnp.float32))
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            atol=5e-2, rtol=5e-2, err_msg=f"d{name} mismatch")
+
+
 def test_flash_kv_mask_matches_reference():
     """kv_mask via additive bias in the Pallas kernel (fixed-slot memory
     banks): both single- and multi-block paths."""

@@ -109,12 +109,15 @@ def attention_reference(q, k, v, *, causal: bool = False,
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
-                  acc_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
                   scale: float, causal: bool, q_len: int, kv_len: int,
                   block_q: int, block_k: int, num_kv_blocks: int,
-                  q_offset: int):
+                  q_offset: int, save_lse: bool = False):
     """Grid: (B, Hq, num_q_blocks, num_kv_blocks); kv dim is the reduction."""
+    if save_lse:
+        lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -171,11 +174,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref,
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        if save_lse:
+            lse_ref[0, 0] = jnp.where(
+                l_ref[...] == 0.0, 0.0, m_ref[...] + jnp.log(l_ref[...]))
 
 
-def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
                          scale: float, causal: bool, block_q: int,
-                         q_offset: int, sum_col: int = -1):
+                         q_offset: int, sum_col: int = -1,
+                         save_lse: bool = False):
     """One-kv-block fast path: plain softmax per q block, no online stats.
 
     KV padding is handled by an additive bias row [1, skv_p] (0 / -inf),
@@ -207,14 +214,21 @@ def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     else:
         l = jnp.sum(p, axis=1, keepdims=True)
     o_ref[0, 0] = (acc * (1.0 / l)).astype(o_ref.dtype)
+    if save_lse:
+        (lse_ref,) = rest
+        lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
-                        q_offset, interpret, kv_bias=None, sum_col=-1):
+                        q_offset, interpret, kv_bias=None, sum_col=-1,
+                        save_lse=False):
     """pallas_call wrapper for the single-kv-block path.
 
     kv_bias: optional [B, Skv-unpadded] additive fp32 bias (e.g. -inf on
-    invalid fixed-slot memory tokens); fused with the padding mask."""
+    invalid fixed-slot memory tokens); fused with the padding mask.
+    save_lse=True additionally returns the per-row logsumexp as
+    [B, Hq, sq_p, _LANES] fp32 (lane-broadcast, the TPU-friendly layout)."""
     B, Hq, sq_p, d_p = q.shape
     Hkv = k.shape[1]
     group = Hq // Hkv
@@ -230,8 +244,16 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
         bias_index = lambda b, h, iq: (0, 0)  # noqa: E731
     kernel = functools.partial(
         _flash_kernel_single, scale=scale, causal=causal, block_q=block_q,
-        q_offset=q_offset, sum_col=sum_col)
-    return pl.pallas_call(
+        q_offset=q_offset, sum_col=sum_col, save_lse=save_lse)
+    out_shape = [jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d_p),
+                              lambda b, h, iq: (b, h, iq, 0))]
+    if save_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, Hq, sq_p, _LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q, _LANES),
+                                      lambda b, h, iq: (b, h, iq, 0)))
+    res = pl.pallas_call(
         kernel,
         grid=(B, Hq, num_q_blocks),
         in_specs=[
@@ -242,14 +264,14 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
             pl.BlockSpec((1, skv_p), bias_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
-                               lambda b, h, iq: (b, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )(q, k, v, bias)
+    return res if save_lse else res[0]
 
 
 # Largest KV extent served by the single-block kernel (scores block
@@ -257,24 +279,17 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
 _SINGLE_BLOCK_MAX_KV = 1024
 
 
-def flash_attention(q, k, v, *, causal: bool = False,
-                    scale: Optional[float] = None,
-                    block_q: int = 256, block_k: int = 512,
-                    interpret: bool = False, kv_bias=None):
-    """Pallas flash attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
+def _fa_core(q, k, v, kv_bias, *, causal: bool, scale: float,
+             block_q: int, block_k: int, interpret: bool,
+             save_lse: bool = False):
+    """Forward flash attention over both regimes (see flash_attention).
 
-    Handles GQA via the k/v index map (kv head = q head // group), arbitrary
-    Sq/Skv/D via padding + in-kernel masking, self/cross causal offsets
-    (causal with Sq != Skv aligns the diagonal to the sequence ends), and an
-    optional per-key additive bias kv_bias [B, Skv] (fixed-slot memory banks
-    pass -inf on invalid slots).
-    """
+    save_lse=True additionally returns per-row logsumexp [B, Hq, Sq] fp32
+    (the residual the flash backward needs)."""
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
     assert Hq % Hkv == 0, (Hq, Hkv)
     group = Hq // Hkv
-    if scale is None:
-        scale = 1.0 / math.sqrt(D)
 
     d_p = _ceil_to(D, _LANES)
 
@@ -292,11 +307,15 @@ def flash_attention(q, k, v, *, causal: bool = False,
         # padding (sum_col) measured SLOWER end-to-end (the extra pass over
         # v outweighs the saved VPU row reduction); kernel support remains
         # but the fast path keeps the in-kernel sum.
-        out = _flash_single_block(qp, kp, vp, causal=causal, scale=scale,
+        res = _flash_single_block(qp, kp, vp, causal=causal, scale=scale,
                                   block_q=block_q, skv_p=skv_p, kv_len=Skv,
                                   q_offset=Skv - Sq, interpret=interpret,
-                                  kv_bias=kv_bias, sum_col=-1)
-        return out[:, :, :Sq, :D]
+                                  kv_bias=kv_bias, sum_col=-1,
+                                  save_lse=save_lse)
+        if save_lse:
+            out, lse = res
+            return out[:, :, :Sq, :D], lse[:, :, :Sq, 0]
+        return res[:, :, :Sq, :D]
 
     block_q = min(block_q, _ceil_to(Sq, _LANES))
     block_k = min(block_k, _ceil_to(Skv, _LANES))
@@ -324,9 +343,18 @@ def flash_attention(q, k, v, *, causal: bool = False,
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, q_len=Sq, kv_len=Skv,
         block_q=block_q, block_k=block_k, num_kv_blocks=num_kv_blocks,
-        q_offset=q_offset)
+        q_offset=q_offset, save_lse=save_lse)
 
-    out = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d_p),
+                              lambda b, h, iq, ik: (b, h, iq, 0))]
+    if save_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, Hq, sq_p, _LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 1, block_q, _LANES),
+                                      lambda b, h, iq, ik: (b, h, iq, 0)))
+
+    res = pl.pallas_call(
         kernel,
         grid=(B, Hq, num_q_blocks, num_kv_blocks),
         in_specs=[
@@ -338,9 +366,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
                          lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
             pl.BlockSpec((1, block_k), bias_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
-                               lambda b, h, iq, ik: (b, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
@@ -352,7 +379,281 @@ def flash_attention(q, k, v, *, causal: bool = False,
         ),
         interpret=interpret,
     )(qp, kp, vp, bias)
-    return out[:, :, :Sq, :D]
+    if save_lse:
+        out, lse = res
+        return out[:, :, :Sq, :D], lse[:, :, :Sq, 0]
+    return res[0][:, :, :Sq, :D]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (backward)
+# ---------------------------------------------------------------------------
+#
+# Standard recompute-based flash backward (the TPU-native replacement for
+# flash-attn's CUDA backward, serving the role of the reference's training
+# attention at llava/train/llama_flash_attn_monkey_patch.py:105-115):
+#   delta = rowsum(dO * O)                       (computed in-kernel; cheap)
+#   p     = exp(q k^T * scale + bias - lse)      (recomputed per block)
+#   dV   += p^T dO
+#   dp    = dO v^T
+#   ds    = p * (dp - delta) * scale
+#   dQ   += ds k          dK += ds^T q
+# Two kernels: dQ reduces over kv blocks; dK/dV reduce over (group, q
+# blocks) so GQA head-group sums happen in-kernel (no [B,Hq,Skv,D] temps).
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
+                   dq_ref, dq_acc, *, scale: float, causal: bool,
+                   block_q: int, block_k: int, num_kv_blocks: int,
+                   q_offset: int):
+    """Grid: (B, Hq, num_q_blocks, num_kv_blocks); kv is the reduction."""
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    if causal:
+        run = (ik * block_k) <= (iq * block_q + block_q - 1 + q_offset)
+    else:
+        run = True
+
+    @pl.when(run)
+    def _run():
+        q = q_ref[0, 0]                       # [bq, d]
+        k = k_ref[0, 0]                       # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[...]
+        if causal:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ik * block_k)
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + iq * block_q + q_offset)
+            s = jnp.where(col <= row, s, _MASK_VALUE)
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])            # [bq, bk]
+        do = do_ref[0, 0]
+        v = v_ref[0, 0]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(
+            jnp.float32), axis=1, keepdims=True)          # [bq, 1]
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        dq_acc[...] += jax.lax.dot(ds, k,
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                    causal: bool, block_q: int, block_k: int, group: int,
+                    num_q_blocks: int, q_offset: int):
+    """Grid: (B, Hkv, num_kv_blocks, group, num_q_blocks); the last two dims
+    reduce over the GQA head group and the q blocks."""
+    ik = pl.program_id(2)
+    g = pl.program_id(3)
+    iq = pl.program_id(4)
+
+    @pl.when((g == 0) & (iq == 0))
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        run = (ik * block_k) <= (iq * block_q + block_q - 1 + q_offset)
+    else:
+        run = True
+
+    @pl.when(run)
+    def _run():
+        q = q_ref[0, 0]                       # [bq, d]
+        k = k_ref[0, 0]                       # [bk, d]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[...]
+        if causal:
+            col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                   + ik * block_k)
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + iq * block_q + q_offset)
+            s = jnp.where(col <= row, s, _MASK_VALUE)
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])            # [bq, bk]
+        do = do_ref[0, 0]
+        # dV += p^T dO: contract the q dim
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o_ref[0, 0].astype(
+            jnp.float32), axis=1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk_acc[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when((g == group - 1) & (iq == num_q_blocks - 1))
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _fa_bwd_impl(q, k, v, kv_bias, out, lse, dout, *, causal, scale,
+                 block_q, block_k, interpret):
+    """Run both backward kernels; returns (dq, dk, dv)."""
+    B, Hq, Sq, D = q.shape
+    Hkv, Skv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+
+    d_p = _ceil_to(D, _LANES)
+    block_q = min(block_q, _ceil_to(Sq, _LANES))
+    block_k = min(block_k, _ceil_to(Skv, _LANES))
+    sq_p = _ceil_to(Sq, block_q)
+    skv_p = _ceil_to(Skv, block_k)
+
+    pad_q = ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D))
+    pad_kv = ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D))
+    qp = jnp.pad(q, pad_q)
+    kp = jnp.pad(k, pad_kv)
+    vp = jnp.pad(v, pad_kv)
+    op = jnp.pad(out, pad_q)
+    dop = jnp.pad(dout, pad_q)
+    # lane-broadcast the logsumexp back to the kernel layout
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - Sq)))
+    lse_p = jnp.broadcast_to(lse_p[..., None], (B, Hq, sq_p, _LANES))
+
+    num_q_blocks = sq_p // block_q
+    num_kv_blocks = skv_p // block_k
+    q_offset = Skv - Sq
+
+    pad_bias = jnp.where(jnp.arange(skv_p)[None, :] < Skv, 0.0,
+                         _MASK_VALUE).astype(jnp.float32)
+    if kv_bias is not None:
+        bias = pad_bias + jnp.pad(kv_bias.astype(jnp.float32),
+                                  ((0, 0), (0, skv_p - Skv)))
+        bias_b = 1
+    else:
+        bias = pad_bias
+        bias_b = 0  # broadcast row
+
+    q_spec4 = pl.BlockSpec((1, 1, block_q, d_p),
+                           lambda b, h, iq, ik: (b, h, iq, 0))
+    kv_spec4 = pl.BlockSpec((1, 1, block_k, d_p),
+                            lambda b, h, iq, ik, g=group: (b, h // g, ik, 0))
+    lse_spec4 = pl.BlockSpec((1, 1, block_q, _LANES),
+                             lambda b, h, iq, ik: (b, h, iq, 0))
+    bias_spec4 = pl.BlockSpec(
+        (1, block_k), lambda b, h, iq, ik, bb=bias_b: (b * bb, ik))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q,
+            block_k=block_k, num_kv_blocks=num_kv_blocks, q_offset=q_offset),
+        grid=(B, Hq, num_q_blocks, num_kv_blocks),
+        in_specs=[q_spec4, kv_spec4, kv_spec4, bias_spec4, q_spec4, q_spec4,
+                  lse_spec4],
+        out_specs=pl.BlockSpec((1, 1, block_q, d_p),
+                               lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias, op, dop, lse_p)
+
+    # dK/dV: grid (B, Hkv, kv blocks, group, q blocks)
+    def qhead5(b, hk, ik, g, iq):
+        return (b, hk * group + g, iq, 0)
+
+    q_spec5 = pl.BlockSpec((1, 1, block_q, d_p), qhead5)
+    lse_spec5 = pl.BlockSpec((1, 1, block_q, _LANES), qhead5)
+    kv_spec5 = pl.BlockSpec((1, 1, block_k, d_p),
+                            lambda b, hk, ik, g, iq: (b, hk, ik, 0))
+    bias_spec5 = pl.BlockSpec(
+        (1, block_k), lambda b, hk, ik, g, iq, bb=bias_b: (b * bb, ik))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
+            block_k=block_k, group=group, num_q_blocks=num_q_blocks,
+            q_offset=q_offset),
+        grid=(B, Hkv, num_kv_blocks, group, num_q_blocks),
+        in_specs=[q_spec5, kv_spec5, kv_spec5, bias_spec5, q_spec5, q_spec5,
+                  lse_spec5],
+        out_specs=[kv_spec5, kv_spec5],
+        out_shape=[jax.ShapeDtypeStruct((B, Hkv, skv_p, d_p), k.dtype),
+                   jax.ShapeDtypeStruct((B, Hkv, skv_p, d_p), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d_p), jnp.float32),
+                        pltpu.VMEM((block_k, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias, op, dop, lse_p)
+
+    return (dq[:, :, :Sq, :D], dk[:, :, :Skv, :D], dv[:, :, :Skv, :D])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fa(static, q, k, v, kv_bias):
+    causal, scale, block_q, block_k, interpret = static
+    return _fa_core(q, k, v, kv_bias, causal=causal, scale=scale,
+                    block_q=block_q, block_k=block_k, interpret=interpret)
+
+
+def _fa_fwd(static, q, k, v, kv_bias):
+    causal, scale, block_q, block_k, interpret = static
+    out, lse = _fa_core(q, k, v, kv_bias, causal=causal, scale=scale,
+                        block_q=block_q, block_k=block_k,
+                        interpret=interpret, save_lse=True)
+    return out, (q, k, v, kv_bias, out, lse)
+
+
+def _fa_bwd(static, res, dout):
+    causal, scale, block_q, block_k, interpret = static
+    q, k, v, kv_bias, out, lse = res
+    dq, dk, dv = _fa_bwd_impl(q, k, v, kv_bias, out, lse, dout,
+                              causal=causal, scale=scale, block_q=block_q,
+                              block_k=block_k, interpret=interpret)
+    # kv_bias is a mask, not a trained quantity: zero cotangent
+    dbias = None if kv_bias is None else jnp.zeros_like(kv_bias)
+    return dq, dk, dv, dbias
+
+
+_fa.defvjp(_fa_fwd, _fa_bwd)
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    scale: Optional[float] = None,
+                    block_q: int = 256, block_k: int = 512,
+                    interpret: bool = False, kv_bias=None):
+    """Pallas flash attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
+
+    Handles GQA via the k/v index map (kv head = q head // group), arbitrary
+    Sq/Skv/D via padding + in-kernel masking, self/cross causal offsets
+    (causal with Sq != Skv aligns the diagonal to the sequence ends), and an
+    optional per-key additive bias kv_bias [B, Skv] (fixed-slot memory banks
+    pass -inf on invalid slots).
+
+    Differentiable: `jax.grad` routes through recompute-based Pallas backward
+    kernels (dQ and fused dK/dV with in-kernel GQA group reduction) via
+    custom_vjp — the training-path equivalent of the reference's flash-attn
+    monkey patch (llava/train/llama_flash_attn_monkey_patch.py).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    static = (causal, float(scale), block_q, block_k, interpret)
+    return _fa(static, q, k, v, kv_bias)
 
 
 # ---------------------------------------------------------------------------
