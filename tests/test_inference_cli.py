@@ -6,6 +6,7 @@ import dataclasses
 import json
 import os
 import os.path as osp
+import re
 import types
 
 import numpy as np
@@ -21,12 +22,28 @@ class FakeTokenizer:
     eos_token_id = 2
     model_max_length = 512
 
+    seg_token_id = 400  # <vid_seg> as an added special token
+    # specials tokenize atomically (like the real llama3 tokenizer) so the
+    # preprocess label-span arithmetic (+1 per <|eot_id|>) lines up
+    _specials = {"<vid_seg>": 400, "<|eot_id|>": 2, "<|begin_of_text|>": 401,
+                 "<|start_header_id|>": 402, "<|end_header_id|>": 403}
+    _spec_pat = re.compile(
+        "(" + "|".join(re.escape(s) for s in ["<vid_seg>", "<|eot_id|>",
+                                              "<|begin_of_text|>",
+                                              "<|start_header_id|>",
+                                              "<|end_header_id|>"]) + ")")
+
     def __call__(self, text):
-        ids = [self.bos_token_id] + [5 + (ord(c) % 350) for c in text]
+        ids = [self.bos_token_id]
+        for piece in self._spec_pat.split(text):
+            if piece in self._specials:
+                ids.append(self._specials[piece])
+            else:
+                ids += [5 + (ord(c) % 350) for c in piece]
         return types.SimpleNamespace(input_ids=ids)
 
     def convert_tokens_to_ids(self, tok):
-        return {"<|eot_id|>": 2}.get(tok, -1)
+        return self._specials.get(tok, -1)
 
     def decode(self, ids, skip_special_tokens=True):
         return " ".join(f"t{int(i)}" for i in ids)

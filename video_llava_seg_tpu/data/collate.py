@@ -90,14 +90,18 @@ class DataCollator:
                     # padded prediction
                     seg_masks[bi, :n, :t, pt:pt + nh, pl:pl + nw] = \
                         m[:n, :t]
-                    seg_valid[bi, :n] = True
-                    has_masks[bi] = True
                     # positions of [SEG]-producing hidden states: labels ==
-                    # seg_token_idx shifted by -1 (llava_llama.py:232-235)
+                    # seg_token_idx shifted by -1 (llava_llama.py:232-235).
+                    # If sequence truncation cut off [SEG] labels, only the
+                    # surviving objects stay valid — otherwise truncated
+                    # objects would train against hidden state 0.
                     pos = np.flatnonzero(
                         plan.labels[bi] == cfg.seg_token_idx) - 1
+                    n = min(n, len(pos))
                     seg_token_pos[bi, :min(len(pos), n_cap)] = \
                         pos[:n_cap]
+                    seg_valid[bi, :n] = True
+                    has_masks[bi] = n > 0
             batch.update({
                 "seg_frames": seg_frames, "seg_masks": seg_masks,
                 "seg_valid": seg_valid, "seg_frame_valid": seg_frame_valid,

@@ -21,6 +21,7 @@ per-object slices) match exactly.
 from __future__ import annotations
 
 import functools
+import warnings
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
@@ -442,10 +443,24 @@ class SAM2VideoPredictor:
         C = cfg.hidden_dim
 
         cond_outputs = output_dict["cond_frame_outputs"]
+        # max_cond_frames_in_attn == -1 means attend to ALL conditioning
+        # frames (sam2_base.py select_closest_cond_frames semantics); the
+        # fixed-slot bank grows in power-of-two buckets (one retrace per
+        # growth) rather than silently dropping cond memories.
+        limit = (len(cond_outputs) if cfg.max_cond_frames_in_attn == -1
+                 else cfg.max_cond_frames_in_attn)
         selected_cond, unselected_cond = self._select_closest_cond_frames(
-            frame_idx, cond_outputs, self.max_cond_slots
-            if cfg.max_cond_frames_in_attn == -1
-            else cfg.max_cond_frames_in_attn)
+            frame_idx, cond_outputs, limit)
+        needed = len(selected_cond) + cfg.num_maskmem - 1
+        if needed > S:
+            S = 1 << (needed - 1).bit_length()
+            if S > self.num_slots:
+                self.num_slots = S
+                warnings.warn(
+                    f"memory slot bank grown to {S} slots for "
+                    f"{len(selected_cond)} cond frames (recompiles the "
+                    "track step)", stacklevel=2)
+        S = self.num_slots
 
         # (t_pos, out) pairs: cond frames with t_pos=0, then previous frames
         # at t_pos 1..num_maskmem-1 with temporal stride r (sam2_base:522-568)

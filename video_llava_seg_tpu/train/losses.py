@@ -125,13 +125,21 @@ def _pairwise_bce_cost(logits, t):
 
 
 def hungarian_match(pred_masks, gt_masks, key,
-                    num_points: int = MATCHER_NUM_POINTS):
+                    num_points: int = MATCHER_NUM_POINTS, obj_valid=None):
     """Match N predicted mask tracks to N GT tracks.
 
     pred_masks/gt_masks: [N, T, H, W]. Cost = point-sampled BCE + dice over
     the flattened (T*H*W) volume with shared random points (the Mask2Former
     trick, hungarian_matcher.py:123-191). Returns (pred_idx, gt_idx) int32
-    arrays of length N via a scipy host callback."""
+    arrays of length N via a scipy host callback.
+
+    obj_valid: optional [N] bool marking real (non-padded) object slots. The
+    reference matches only the actual N objects (mask_loss.py:67-82); with
+    fixed-capacity padding the equivalent is biasing the cost so valid
+    predictions can only match valid GTs (padding slots pair off among
+    themselves at zero cost), which also degenerates to the identity
+    assignment when a single slot is valid — the reference's num_objs>1
+    gate."""
     n = pred_masks.shape[0]
     flat_p = pred_masks.reshape(n, -1).astype(jnp.float32)
     flat_g = gt_masks.reshape(n, -1).astype(jnp.float32)
@@ -141,12 +149,45 @@ def hungarian_match(pred_masks, gt_masks, key,
     sg = jnp.take(flat_g, idx, axis=1)
     cost = (_pairwise_bce_cost(sp, sg)
             + _pairwise_dice_cost(jax.nn.sigmoid(sp), sg))
+    if obj_valid is not None:
+        v = obj_valid.astype(bool)
+        cross = v[:, None] != v[None, :]
+        both_invalid = jnp.logical_and(~v[:, None], ~v[None, :])
+        cost = jnp.where(cross, 1e9, jnp.where(both_invalid, 0.0, cost))
 
     return _solve_assignment(jax.lax.stop_gradient(cost))
 
 
-@jax.custom_vjp
+# On-device exact assignment by permutation enumeration, used up to this
+# many objects (8! = 40320 candidate sums — trivial VPU work). Beyond it we
+# fall back to the scipy host callback, which some TPU runtimes (axon PJRT)
+# and multi-host pjit do not support — at ViCaS object counts the enumeration
+# path is the one that runs in practice.
+_ENUM_MAX_N = 8
+
+
 def _solve_assignment(cost):
+    n = cost.shape[0]
+    if n <= _ENUM_MAX_N:
+        return _solve_assignment_enum(cost)
+    return _solve_assignment_callback(cost)
+
+
+def _solve_assignment_enum(cost):
+    """Exact linear sum assignment via static permutation enumeration —
+    jit/TPU/multi-host-safe (no host callback)."""
+    import itertools
+
+    n = cost.shape[0]
+    perms = jnp.asarray(
+        np.asarray(list(itertools.permutations(range(n))), np.int32))
+    totals = jnp.sum(cost[jnp.arange(n)[None, :], perms], axis=1)
+    best = perms[jnp.argmin(totals)]
+    return (jnp.arange(n, dtype=jnp.int32), best.astype(jnp.int32))
+
+
+@jax.custom_vjp
+def _solve_assignment_callback(cost):
     """Host scipy linear_sum_assignment; non-differentiable (the reference
     also solves on CPU under no_grad, hungarian_matcher.py:186)."""
     n = cost.shape[0]
@@ -162,14 +203,14 @@ def _solve_assignment(cost):
 
 
 def _solve_fwd(cost):
-    return _solve_assignment(cost), cost.shape
+    return _solve_assignment_callback(cost), cost.shape
 
 
 def _solve_bwd(shape, g):
     return (jnp.zeros(shape, jnp.float32),)
 
 
-_solve_assignment.defvjp(_solve_fwd, _solve_bwd)
+_solve_assignment_callback.defvjp(_solve_fwd, _solve_bwd)
 
 
 def mask_loss(pred_masks, gt_masks, valid_mask=None, key=None,
@@ -185,7 +226,11 @@ def mask_loss(pred_masks, gt_masks, valid_mask=None, key=None,
     n = pred_masks.shape[0]
     if align and n > 1 and not dummy:
         assert key is not None
-        pi, gi = hungarian_match(pred_masks, gt_masks, key)
+        ov = None
+        if valid_mask is not None:
+            ov = (valid_mask if valid_mask.ndim == 1
+                  else jnp.any(valid_mask, axis=1))
+        pi, gi = hungarian_match(pred_masks, gt_masks, key, obj_valid=ov)
         pred_masks = jnp.take(pred_masks, pi, axis=0)
         gt_masks = jnp.take(gt_masks, gi, axis=0)
         if valid_mask is not None:

@@ -80,7 +80,11 @@ def build_optimizer(cfg: TrainConfig, params):
         if cfg.lr_schedule == "cosine":
             return optax.warmup_cosine_decay_schedule(
                 0.0, peak, warmup, cfg.num_train_steps)
-        return optax.linear_schedule(0.0, peak, warmup)
+        # HF 'linear': warmup to peak then linear decay to 0 over the rest
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warmup),
+             optax.linear_schedule(peak, 0.0, cfg.num_train_steps - warmup)],
+            [warmup])
 
     transforms: Dict[str, Any] = {}
     for comp, peak in lrs.items():
@@ -89,13 +93,15 @@ def build_optimizer(cfg: TrainConfig, params):
             if frozen[comp]:
                 transforms[label] = optax.set_to_zero()
             else:
-                transforms[label] = optax.chain(
-                    optax.clip_by_global_norm(cfg.max_grad_norm),
-                    optax.adamw(make_sched(peak), b1=cfg.adam_b1,
-                                b2=cfg.adam_b2, eps=cfg.adam_eps,
-                                weight_decay=wd))
+                transforms[label] = optax.adamw(
+                    make_sched(peak), b1=cfg.adam_b1, b2=cfg.adam_b2,
+                    eps=cfg.adam_eps, weight_decay=wd)
     labels = param_labels(params)
-    tx = optax.multi_transform(transforms, labels)
+    # one GLOBAL clip across the whole gradient tree (HF/DeepSpeed trainer
+    # semantics) — clipping inside each group would compute 12 per-group
+    # norms and overshoot max_grad_norm by up to sqrt(#groups)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.multi_transform(transforms, labels))
     if cfg.gradient_accumulation_steps > 1:
         # micro-batch accumulation (DeepSpeed gradient_accumulation_steps /
         # HF --gradient_accumulation_steps equivalent); train_loop steps are
