@@ -70,9 +70,35 @@ class VisionTowerConfig:
     layernorm_eps: float = 1e-5
     # RADIO-style towers have no CLS and use an input conditioner
     is_radio: bool = False
+    # RADIO prepends cls/register tokens WITHOUT position embeddings and
+    # drops them from the spatial output (ViTPatchGenerator semantics)
+    num_register_tokens: int = 0
+    # RADIO taps the trunk's final LayerNorm'd features (timm
+    # forward_features), unlike CLIP's pre-final-norm hidden-state tap
+    final_norm: bool = False
     # S2 multi-scale wrapper (clip_encoder.py:142-197): scales sorted
     # ascending, smallest = split size; effective hidden = hidden * n_scales
     s2_scales: tuple = ()
+
+    @staticmethod
+    def radio(name: str = "nvidia/RADIO", image_size: int = 384):
+        """RADIO variants (radio_encoder.py:111-122 hidden-size table;
+        trunks are timm ViT-H/L/B-16). The published reference training
+        scripts all use --vision_tower nvidia/RADIO."""
+        sizes = {
+            "nvidia/RADIO": (1280, 32, 16, 5120),    # ViT-H/16
+            "nvidia/RADIO-L": (1024, 24, 16, 4096),  # ViT-L/16
+            "nvidia/RADIO-B": (768, 12, 12, 3072),   # ViT-B/16
+        }
+        if name not in sizes:
+            raise ValueError(f"unknown RADIO variant: {name}")
+        d, layers, heads, inter = sizes[name]
+        return VisionTowerConfig(
+            name=name, image_size=image_size, patch_size=16, hidden_size=d,
+            intermediate_size=inter, num_layers=layers, num_heads=heads,
+            select_layer=-1, select_feature="patch", use_cls_token=False,
+            is_radio=True, num_register_tokens=1, final_norm=True,
+            layernorm_eps=1e-6)
 
     @property
     def s2_enabled(self) -> bool:

@@ -78,13 +78,20 @@ def convert_llava_state_dict(sd: Dict[str, np.ndarray],
                 np.asarray(llm_sd["lm_head.weight"]), cfg.llm.vocab_size)
         out["llm"] = convert_llama(llm_sd, cfg.llm)
 
-    # vision tower
-    vt_prefix = "model.vision_tower.vision_tower.vision_model."
+    # vision tower: CLIP (vision_model.*) or RADIO (radio_model.*)
+    vt_base = "model.vision_tower.vision_tower."
+    vt_prefix = vt_base + "vision_model."
+    radio_prefix = vt_base + "radio_model."
     if any(k.startswith(vt_prefix) for k in sd):
-        vt_sd = {k[len("model.vision_tower.vision_tower."):]: v
+        vt_sd = {k[len(vt_base):]: v
                  for k, v in sd.items() if k.startswith(vt_prefix)}
         out["vision_tower"] = convert_clip_vision(vt_sd,
                                                   cfg.vision.num_layers)
+    elif any(k.startswith(radio_prefix) for k in sd):
+        from video_llava_seg_tpu.convert.radio import convert_radio
+        vt_sd = {k[len(vt_base):]: v
+                 for k, v in sd.items() if k.startswith(radio_prefix)}
+        out["vision_tower"] = convert_radio(vt_sd, cfg.vision)
 
     # projector ('model.mm_projector.0.weight' style)
     if any(k.startswith("model.mm_projector.") for k in sd):

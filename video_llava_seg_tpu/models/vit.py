@@ -42,6 +42,15 @@ def init(key, cfg: VisionTowerConfig, dtype=jnp.float32):
     }
     if cfg.use_cls_token:
         p["class_embedding"] = nn.trunc_normal(keys[2], (d,), 0.02, dtype)
+    if cfg.num_register_tokens > 0:
+        p["register_tokens"] = nn.trunc_normal(
+            keys[2], (cfg.num_register_tokens, d), 0.02, dtype)
+    if cfg.is_radio:
+        # RADIO input conditioner (normalization folded into the model;
+        # radio_encoder.py:60 plumbs its dtype) — identity until a converter
+        # loads the checkpoint stats
+        p["input_conditioner"] = {"mean": jnp.zeros((3,), dtype),
+                                  "std": jnp.ones((3,), dtype)}
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[i + 3], 6)
         p["layers"].append({
@@ -113,6 +122,11 @@ def apply(params, cfg: VisionTowerConfig, images, interpret: bool = False):
         b, t = images.shape[:2]
         images = images.reshape(b * t, *images.shape[2:])
 
+    if cfg.is_radio and "input_conditioner" in params:
+        cond = params["input_conditioner"]
+        images = (images - cond["mean"].astype(images.dtype)) / \
+            cond["std"].astype(images.dtype)
+
     x = nn.conv2d(params["patch_embedding"], images,
                   stride=(cfg.patch_size, cfg.patch_size), padding="VALID")
     bt, gh, gw, d = x.shape
@@ -123,6 +137,13 @@ def apply(params, cfg: VisionTowerConfig, images, interpret: bool = False):
             (bt, 1, d))
         x = jnp.concatenate([cls_tok, x], axis=1)
     x = x + params["position_embedding"][None].astype(x.dtype)
+    n_reg = cfg.num_register_tokens
+    if n_reg > 0:
+        # RADIO cls/register tokens join AFTER the position add
+        # (ViTPatchGenerator: pos embeds apply to patches only)
+        reg = jnp.broadcast_to(
+            params["register_tokens"][None].astype(x.dtype), (bt, n_reg, d))
+        x = jnp.concatenate([reg, x], axis=1)
     if not cfg.is_radio:
         x = nn.layer_norm(params["pre_layrnorm"], x, cfg.layernorm_eps)
 
@@ -134,11 +155,16 @@ def apply(params, cfg: VisionTowerConfig, images, interpret: bool = False):
     for layer in params["layers"][:n_run]:
         x = _encoder_layer(layer, x, cfg.num_heads, cfg.layernorm_eps, act,
                            interpret)
+    if cfg.final_norm:
+        # RADIO spatial features are final-norm'd (timm forward_features)
+        x = nn.layer_norm(params["post_layernorm"], x, cfg.layernorm_eps)
 
     if cfg.select_feature == "patch" and cfg.use_cls_token:
         x = x[:, 1:]
     elif cfg.select_feature not in ("patch", "cls_patch"):
         raise ValueError(f"Unexpected select feature: {cfg.select_feature}")
+    if n_reg > 0 and cfg.select_feature == "patch":
+        x = x[:, n_reg:]
 
     if video:
         x = x.reshape(b, t, *x.shape[1:])
