@@ -53,16 +53,23 @@ def encode_video(params, cfg: VideoLlavaConfig, video,
     Returns (slow [B, T_slow, N, D], fast [B, T, p*p, D] or None) —
     llava_arch.py:183-198: slow frames keep all patch tokens, every frame is
     adaptively avg-pooled to fast_pool_size^2 tokens."""
+    from video_llava_seg_tpu.parallel.mesh import maybe_constrain
+
     tower = vit.apply_s2 if cfg.vision.s2_enabled else vit.apply
     feats = tower(params["vision_tower"], cfg.vision, video, interpret)
     feats = projector.apply(params["mm_projector"], feats)  # [B, T, N, D]
+    # pin batch-sharded layout through the slice/reshape chain below (SPMD
+    # otherwise falls back to involuntary full rematerialization in the vjp)
+    feats = maybe_constrain(feats, "data")
     t = feats.shape[1]
     if cfg.num_slow_frames != cfg.num_frames:
         frame_ids = jnp.linspace(0, t - 1, cfg.num_slow_frames).astype(
             jnp.int32)
         slow = jnp.take(feats, frame_ids, axis=1)
         side = int(round(np.sqrt(feats.shape[2])))
-        grid = feats.reshape(*feats.shape[:2], side, side, feats.shape[-1])
+        grid = maybe_constrain(
+            feats.reshape(*feats.shape[:2], side, side, feats.shape[-1]),
+            "data")
         fast = adaptive_avg_pool_2d(
             grid, (cfg.fast_pool_size, cfg.fast_pool_size))
         fast = fast.reshape(*feats.shape[:2], cfg.fast_pool_size**2,

@@ -111,13 +111,30 @@ def decode_masks(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
     seg_tokens: [N, llm_hidden] ([SEG] hidden states for N objects).
 
     Returns low-res mask logits [N, T, 4h, 4w] (max over Q queries)."""
+    out = decode_masks_batched(
+        params, cfg, sam2_cfg, backbone_feats[None],
+        [h[None] for h in high_res_feats], seg_tokens[None], interpret)
+    return out[0]
+
+
+def decode_masks_batched(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
+                         backbone_feats, high_res_feats, seg_tokens,
+                         interpret: bool = False):
+    """Decode masks for a BATCH of videos in one mask-decoder dispatch.
+
+    backbone_feats: [B, T, h, w, C]; high_res_feats: list of [B, T, ...];
+    seg_tokens: [B, N, llm_hidden]. Returns [B, N, T, 4h, 4w] — the batched
+    replacement for the reference's per-video/per-frame decode loop
+    (llava/model/seg_head/sam2.py:102-124); the whole (B x T x N x Q)
+    product runs as one flat decoder batch so compile time and dispatch
+    count do not scale with the per-chip batch size."""
     q = cfg.seg_num_queries
-    t = backbone_feats.shape[0]
-    n = seg_tokens.shape[0]
+    bsz, t = backbone_feats.shape[:2]
+    n = seg_tokens.shape[1]
     c = sam2_cfg.hidden_dim
 
-    sparse = nn.dense(params["proj_token"], seg_tokens)     # [N, Q*C]
-    sparse = sparse.reshape(n * q, 1, c)                    # [NQ, 1, C]
+    sparse = nn.dense(params["proj_token"], seg_tokens)     # [B, N, Q*C]
+    sparse = sparse.reshape(bsz, n * q, 1, c)
 
     # dense prompt = no_mask_embed (prompt encoder with no inputs)
     s = sam2_cfg.image_embedding_size
@@ -127,21 +144,25 @@ def decode_masks(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
     image_pe = sam2_prompt_encoder.get_dense_pe(params["prompt_encoder"],
                                                 sam2_cfg)
 
-    # batch (frames x prompts): tile image feats over NQ, prompts over T
+    # flat batch layout [B, T, NQ]: image feats repeat over NQ, prompts
+    # broadcast over T
     def tile_img(x):
-        return jnp.repeat(x, n * q, axis=0)                 # [T*NQ, ...]
+        flat = x.reshape(bsz * t, *x.shape[2:])
+        return jnp.repeat(flat, n * q, axis=0)              # [B*T*NQ, ...]
 
     img = tile_img(backbone_feats)
     hr = [tile_img(h) for h in high_res_feats]
-    sp = jnp.tile(sparse, (t, 1, 1))                        # [T*NQ, 1, C]
-    dn = jnp.broadcast_to(dense, (t * n * q, s, s, c))
+    sp = jnp.broadcast_to(sparse[:, None], (bsz, t, n * q, 1, c)).reshape(
+        bsz * t * n * q, 1, c)
+    dn = jnp.broadcast_to(dense, (bsz * t * n * q, s, s, c))
 
     low_res, ious, _, _ = sam2_mask_decoder.apply(
         params["mask_decoder"], sam2_cfg, img, image_pe, sp, dn,
         multimask_output=False, high_res_features=hr, interpret=interpret)
-    # [T*NQ, 1, 4s, 4s] -> [N, Q, T, 4s, 4s] -> max over Q
-    low_res = low_res.reshape(t, n, q, 4 * s, 4 * s).transpose(1, 2, 0, 3, 4)
-    return jnp.max(low_res, axis=1)
+    # [B*T*NQ, 1, 4s, 4s] -> [B, N, Q, T, 4s, 4s] -> max over Q
+    low_res = low_res.reshape(bsz, t, n, q, 4 * s, 4 * s)
+    low_res = low_res.transpose(0, 2, 3, 1, 4, 5)
+    return jnp.max(low_res, axis=2)
 
 
 def postprocess_masks(masks, meta: Dict[str, Any], image_size: int,

@@ -51,6 +51,24 @@ def with_sharding(x, mesh: Mesh, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+def maybe_constrain(x, *spec):
+    """Sharding constraint against the AMBIENT mesh (the `with mesh:`
+    context), or a no-op when tracing without one (single-chip jit, CPU
+    tests). Lets model code annotate activations without threading the mesh
+    through every call."""
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if m.empty or not all(s is None or s in m.axis_names
+                              for s in spec):
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(m, P(*spec)))
+    except Exception:
+        return x
+
+
 # ---------------------------------------------------------------------------
 # Parameter partitioning rules
 # ---------------------------------------------------------------------------

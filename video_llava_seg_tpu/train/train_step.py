@@ -56,61 +56,72 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
         from video_llava_seg_tpu.ops.resize import interpolate_hw
 
         sam2_cfg = seg_head_mod.make_sam2_cfg(cfg.seg)
-        b = batch["seg_frames"].shape[0]
+        b, ts = batch["seg_frames"].shape[:2]
         img_sz = sam2_cfg.image_size
-        loss_mask_sum = 0.0
-        dice_sum = 0.0
-        ce_sum = 0.0
-        iou_sum = 0.0
-        n_tracks = 0.0
-        for bi in range(b):  # B static and small (per-chip batch 1-2)
-            frames = batch["seg_frames"][bi]
-            feats, high_res = seg_head_mod.encode_video_frames(
-                params["seg_head"], sam2_cfg, frames, interpret)
-            pos = batch["seg_token_pos"][bi]            # [N]
-            seg_tokens = jnp.take(hidden[bi], jnp.clip(pos, 0, None),
-                                  axis=0)               # [N, D]
-            low = seg_head_mod.decode_masks(
-                params["seg_head"], cfg.seg, sam2_cfg, feats, high_res,
-                seg_tokens, interpret)                  # [N, Ts, s/4, s/4]
-            # reference computes the loss at the model-res UNPADDED size
-            # (forward_seg_head_train uses resize_to_original_dims=False);
-            # static-shape equivalent: upsample to padded img_sz and mask
-            # the padded region out of every loss term
-            pred = interpolate_hw(low.astype(jnp.float32),
-                                  (img_sz, img_sz), "bilinear")
-            pad = batch["seg_padding"][bi]              # [4] l, r, t, b
+
+        # one flat [B*Ts] Hiera dispatch + one batched mask decode (compile
+        # time and dispatch count stay constant in per_device_batch_size)
+        from video_llava_seg_tpu.parallel.mesh import maybe_constrain
+
+        frames_flat = batch["seg_frames"].reshape(
+            b * ts, *batch["seg_frames"].shape[2:])
+        feats, high_res = seg_head_mod.encode_video_frames(
+            params["seg_head"], sam2_cfg, frames_flat, interpret)
+        # keep seg-head activations sharded along 'data' across the reshape
+        # (without the constraint SPMD falls back to a full involuntary
+        # rematerialization here — seen in the 4x2 dryrun)
+        feats = maybe_constrain(
+            feats.reshape(b, ts, *feats.shape[1:]), "data")
+        high_res = [maybe_constrain(h.reshape(b, ts, *h.shape[1:]), "data")
+                    for h in high_res]
+        pos = jnp.clip(batch["seg_token_pos"], 0, None)     # [B, N]
+        seg_tokens = jnp.take_along_axis(hidden, pos[..., None],
+                                         axis=1)            # [B, N, D]
+        low = seg_head_mod.decode_masks_batched(
+            params["seg_head"], cfg.seg, sam2_cfg, feats, high_res,
+            seg_tokens, interpret)                  # [B, N, Ts, s/4, s/4]
+        low = maybe_constrain(low, "data")
+        # reference computes the loss at the model-res UNPADDED size
+        # (forward_seg_head_train uses resize_to_original_dims=False);
+        # static-shape equivalent: upsample to padded img_sz and mask
+        # the padded region out of every loss term
+        pred = interpolate_hw(low.astype(jnp.float32),
+                              (img_sz, img_sz), "bilinear")
+
+        def per_sample(pred_b, gt_b, valid_b, n_valid_b, pad_b, has_b, key):
             ys = jnp.arange(img_sz)
             xs = jnp.arange(img_sz)
-            pixel_mask = ((ys[:, None] >= pad[2])
-                          & (ys[:, None] < img_sz - pad[3])
-                          & (xs[None, :] >= pad[0])
-                          & (xs[None, :] < img_sz - pad[1]))
-            gt = batch["seg_masks"][bi]                 # [N, Ts, img, img]
-            valid = (batch["seg_valid"][bi][:, None]
-                     & batch["seg_frame_valid"][bi][None, :])
-            key = jax.random.fold_in(rng, bi)
-            out_real = losses.mask_loss(pred, gt, valid_mask=valid, key=key,
-                                        dummy=False, pixel_mask=pixel_mask,
+            pixel_mask = ((ys[:, None] >= pad_b[2])
+                          & (ys[:, None] < img_sz - pad_b[3])
+                          & (xs[None, :] >= pad_b[0])
+                          & (xs[None, :] < img_sz - pad_b[1]))
+            out_real = losses.mask_loss(pred_b, gt_b, valid_mask=valid_b,
+                                        key=key, dummy=False,
+                                        pixel_mask=pixel_mask,
                                         dice_weight=dice_w, ce_weight=ce_w)
-            out_dummy = losses.mask_loss(pred, gt, valid_mask=valid,
+            out_dummy = losses.mask_loss(pred_b, gt_b, valid_mask=valid_b,
                                          dummy=True, align=False)
-            use_dummy = jnp.logical_not(batch["has_masks"][bi])
+            use_dummy = jnp.logical_not(has_b)
             pick = lambda a, b_: jnp.where(use_dummy, b_, a)  # noqa: E731
-            loss_mask_sum += pick(out_real["loss_mask"],
-                                  out_dummy["loss_mask"])
-            dice_sum += pick(out_real["loss_mask_dice"],
-                             out_dummy["loss_mask_dice"])
-            ce_sum += pick(out_real["loss_mask_ce"],
-                           out_dummy["loss_mask_ce"])
-            iou_sum += pick(jnp.sum(out_real["mask_ious"]), 0.0)
-            n_tracks += pick(jnp.sum(batch["seg_valid"][bi].astype(
-                jnp.float32)), 0.0)
+            return (pick(out_real["loss_mask"], out_dummy["loss_mask"]),
+                    pick(out_real["loss_mask_dice"],
+                         out_dummy["loss_mask_dice"]),
+                    pick(out_real["loss_mask_ce"], out_dummy["loss_mask_ce"]),
+                    pick(jnp.sum(out_real["mask_ious"]), 0.0),
+                    pick(n_valid_b, 0.0))
+
+        valid = (batch["seg_valid"][:, :, None]
+                 & batch["seg_frame_valid"][:, None, :])    # [B, N, Ts]
+        n_valid = jnp.sum(batch["seg_valid"].astype(jnp.float32), axis=1)
+        lm, ld, lc, iou, ntr = jax.vmap(per_sample)(
+            pred, batch["seg_masks"], valid, n_valid, batch["seg_padding"],
+            batch["has_masks"], jax.random.split(rng, b))
+        loss_mask_sum = jnp.sum(lm)
         total = total + loss_mask_sum
         metrics.update({
-            "loss_mask": loss_mask_sum, "loss_mask_dice": dice_sum,
-            "loss_mask_ce": ce_sum, "mask_iou_sum": iou_sum,
-            "num_object_tracks": n_tracks,
+            "loss_mask": loss_mask_sum, "loss_mask_dice": jnp.sum(ld),
+            "loss_mask_ce": jnp.sum(lc), "mask_iou_sum": jnp.sum(iou),
+            "num_object_tracks": jnp.sum(ntr),
         })
     metrics["loss"] = total
     return total, metrics
