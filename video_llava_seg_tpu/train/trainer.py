@@ -204,7 +204,10 @@ def train_loop(state, step_fn, data_iter: Iterable, tcfg: TrainConfig,
             jax.profiler.start_trace(tcfg.trace_dir)
             tracing = True
         batch = next(data_iter)
-        rng, sub = jax.random.split(rng)
+        # per-step key by fold_in (not sequential splits): a resumed run
+        # sees the same key at step k as the uninterrupted one, making
+        # checkpoint-resume bitwise equivalent
+        sub = jax.random.fold_in(rng, step)
         state, metrics = step_fn(state, batch, sub)
         if tracing and step + 1 >= tcfg.profile_start + tcfg.profile_steps:
             jax.tree_util.tree_map(
