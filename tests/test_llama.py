@@ -109,6 +109,35 @@ def test_eos_stops_generation(params):
     assert int(n) == 1  # stops right after the first emitted token
 
 
+def test_batched_generate_per_sample_eos(params):
+    """A row hitting EOS must not stop other rows (per-sample done flags);
+    its tail pads with the eos id while the others keep decoding."""
+    ids = jnp.asarray([[5, 6, 7], [9, 10, 11]])
+    embeds = llama.embed(params, ids)
+    # no eos: both rows run to the cap — reference per-row tokens
+    free, _, n_free = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=3, max_new_tokens=6,
+        eos_token_ids=(99999,))
+    assert int(n_free) == 6
+    # make row 0's FIRST emitted token the eos; row 1 must be unaffected
+    eos_tok = int(np.asarray(free[0, 0]))
+    if eos_tok == int(np.asarray(free[1, 0])):
+        eos_tok = int(np.asarray(free[0, 1]))  # pick a later row-0 token
+    capped, _, _ = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=3, max_new_tokens=6,
+        eos_token_ids=(eos_tok,))
+    row0 = np.asarray(capped[0])
+    stop = int(np.flatnonzero(row0 == eos_tok)[0])
+    # after its eos, row 0 emits only padding (the eos id)
+    assert (row0[stop:] == eos_tok).all()
+    # row 1 decodes exactly as in the unconstrained run up to ITS own eos
+    row1_free = np.asarray(free[1])
+    row1 = np.asarray(capped[1])
+    own_stop = np.flatnonzero(row1_free == eos_tok)
+    k = int(own_stop[0]) + 1 if len(own_stop) else 6
+    np.testing.assert_array_equal(row1[:k], row1_free[:k])
+
+
 def test_mistral_sliding_window_masks_old_keys():
     """Sliding-window attention (llava_mistral.py wrapper parity): scores
     for keys older than `window` are masked; prefill+decode agrees with the

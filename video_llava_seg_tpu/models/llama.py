@@ -262,10 +262,14 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
 
     def cond(state):
         i, tok, done, *_ = state
-        return jnp.logical_and(i < max_new_tokens, jnp.logical_not(done))
+        return jnp.logical_and(i < max_new_tokens,
+                               jnp.logical_not(jnp.all(done)))
 
     def body(state):
         i, tok, done, tokens, hiddens, cache = state
+        # finished rows keep emitting their first eos id (padding)
+        pad_id = eos[0] if eos.shape[0] else jnp.int32(0)
+        tok = jnp.where(done, pad_id, tok)
         tokens = tokens.at[:, i].set(tok)
         emb = embed(params, tok[:, None]).astype(inputs_embeds.dtype)
         logits, h, cache = decode_step(params, cfg, emb, cache, interpret)
@@ -275,15 +279,17 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
         hiddens = jax.lax.dynamic_update_slice(
             hiddens, h.astype(hiddens.dtype), (0, i + 1, 0))
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-        done = jnp.any(jnp.isin(tok, eos))
+        # per-sample stop: a row is done once IT has emitted an eos — other
+        # rows keep decoding (the loop exits when all rows are done)
+        done = jnp.logical_or(done, jnp.isin(tok, eos))
         return i + 1, nxt, done, tokens, hiddens, cache
 
     # hiddens[0] = prefill's last-position hidden (it produced first_tok)
     hidden0 = hidden0.at[:, 0].set(hidden[:, -1].astype(hidden0.dtype))
     # one extra slot absorbs the final dynamic_update_slice at i = max-1
     hidden0 = jnp.pad(hidden0, ((0, 0), (0, 1), (0, 0)))
-    state = (jnp.int32(0), first_tok, jnp.bool_(False), tokens0, hidden0,
-             cache)
+    state = (jnp.int32(0), first_tok, jnp.zeros((b,), jnp.bool_), tokens0,
+             hidden0, cache)
     i, tok, done, tokens, hiddens, cache = jax.lax.while_loop(cond, body,
                                                               state)
     return tokens, hiddens[:, :max_new_tokens], i
