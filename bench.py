@@ -33,7 +33,7 @@ def _eprint(obj):
 # config 3 — vision tower (headline)
 # ---------------------------------------------------------------------------
 
-def bench_vision():
+def bench_vision(n_clips=4):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,9 @@ def bench_vision():
     )
     from video_llava_seg_tpu.models import llava, projector, vit
 
-    # CLIP-L/14-336 tower + mlp2x_gelu projector into a 4096-dim LLM space
+    # CLIP-L/14-336 tower + mlp2x_gelu projector into a 4096-dim LLM space.
+    # n_clips clips (n_clips*32 frames) batch through one dispatch — the
+    # serving shape for chunked data-parallel inference.
     vis = VisionTowerConfig(name="clip-vit-large-336")
     cfg = VideoLlavaConfig(
         vision=vis,
@@ -63,7 +65,7 @@ def bench_vision():
     }
 
     video = jax.random.normal(
-        k3, (1, cfg.num_frames, vis.image_size, vis.image_size, 3),
+        k3, (n_clips, cfg.num_frames, vis.image_size, vis.image_size, 3),
         jnp.bfloat16)
 
     @jax.jit
@@ -78,7 +80,7 @@ def bench_vision():
     for i in range(1, iters + 1):
         float(encode(params, video, jnp.bfloat16(i * 1e-3)))
     dt = (time.time() - t0) / iters
-    frames_per_sec = cfg.num_frames / dt
+    frames_per_sec = n_clips * cfg.num_frames / dt
 
     # achieved TF/s + MFU so the gap decomposes into kernel quality vs the
     # physics of the 2000 f/s target. FLOPs/frame for the tower fwd:
@@ -97,6 +99,12 @@ def bench_vision():
         "vs_baseline": round(frames_per_sec / 2000.0, 4),
         "achieved_tflops_s": round(tf_s, 1),
         "mfu_vs_measured_peak": round(tf_s / peak_tf, 3),
+        "n_clips_per_dispatch": n_clips,
+        # physics: 2000 f/s x 365 GF/frame = 731 TF/s > the chip's bf16
+        # peak (197 spec / 169 measured in-graph), so the north star is
+        # compute-infeasible for CLIP-L/336 dense bf16 on one v5e; the
+        # per-chip ceiling is ~460 f/s at 100% MFU. See BENCH_NOTES.md.
+        "chip_bf16_ceiling_frames_s": round(169e12 / flops_frame, 0),
     }
 
 

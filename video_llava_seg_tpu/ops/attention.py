@@ -295,14 +295,23 @@ def _fa_core(q, k, v, kv_bias, *, causal: bool, scale: float,
 
     if Skv <= _SINGLE_BLOCK_MAX_KV:
         # short-KV regime (ViT, SAM2 decoder/memory): one kv block per q
-        # block, no online-softmax bookkeeping — VPU work ~halves
+        # block, no online-softmax bookkeeping — VPU work ~halves.
+        # Measured on v5e (ViT regime [32,16,577,64]): a whole-sequence q
+        # block beats q-block=320 by ~20% (fewer grid steps, no kv refetch),
+        # and leaving D unpadded (block d == array d satisfies Mosaic)
+        # saves the 64->128 pad copies + halves kv DMA.
         skv_p = _ceil_to(Skv, _LANES)
-        block_q = min(320 if block_q in (128, 256) else block_q,
-                      _ceil_to(Sq, 64))
+        if block_q in (128, 256):      # caller didn't override: auto-size
+            # cap the fp32 scores tile at ~2 MB of VMEM
+            cap = max((2 * 1024 * 1024) // (skv_p * 4) // 64 * 64, 64)
+            block_q = min(cap, _ceil_to(Sq, 8))
+        else:
+            block_q = min(block_q, _ceil_to(Sq, 8))
         sq_p = _ceil_to(Sq, block_q)
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, d_p - D)))
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, d_p - D)))
+        d_p = D                        # full-dim block: no lane padding
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - Skv), (0, 0)))
         # NOTE: riding the softmax denominator on a ones-column of v's
         # padding (sum_col) measured SLOWER end-to-end (the extra pass over
         # v outweighs the saved VPU row reduction); kernel support remains
