@@ -90,6 +90,8 @@ class SAM2VideoPredictor:
         self._encode_mem_jit = jax.jit(self._encode_mem_impl,
                                        static_argnames=("is_pts",))
         self._fill_holes_jit = jax.jit(self._fill_holes_impl)
+        self._vidres_jit = jax.jit(self._vidres_impl,
+                                   static_argnames=("hw",))
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs):
@@ -763,15 +765,22 @@ class SAM2VideoPredictor:
             state, consolidated["pred_masks_video_res"])
         return frame_idx, obj_ids, video_res_masks
 
-    def _get_orig_video_res_output(self, state, any_res_masks):
-        h, w = state["video_height"], state["video_width"]
-        if any_res_masks.shape[-2:] == (h, w):
-            video_res = any_res_masks
-        else:
-            video_res = interpolate_hw(jnp.asarray(any_res_masks), (h, w),
-                                       "bilinear")
+    def _vidres_impl(self, masks, *, hw):
+        # masks shape is static under jit, so the no-resize case folds away
+        video_res = (masks if masks.shape[-2:] == hw
+                     else interpolate_hw(masks, hw, "bilinear"))
         if self.non_overlap_masks:
             video_res = base.apply_non_overlapping_constraints(video_res)
+        return video_res
+
+    def _get_orig_video_res_output(self, state, any_res_masks):
+        """Resize low-res mask logits to the original video resolution.
+
+        One jitted dispatch (reference :1000-1016 does this eagerly per
+        frame; un-jitted eager resize was 60% of propagation wall time on
+        TPU) and a single device->host transfer."""
+        h, w = state["video_height"], state["video_width"]
+        video_res = self._vidres_jit(jnp.asarray(any_res_masks), hw=(h, w))
         return any_res_masks, np.asarray(video_res)
 
     def _consolidate_temp_output_across_obj(self, state, frame_idx, is_cond,
@@ -910,6 +919,12 @@ class SAM2VideoPredictor:
                                 num_frames - 1)
             processing_order = range(start_frame_idx, end_frame_idx + 1)
 
+        # One-frame lookahead: frame t+1's track is dispatched (async) before
+        # frame t's masks are pulled to host, so the chip never idles on the
+        # per-frame device->host sync. State-dict updates stay per-frame
+        # eager; only the host materialization of the yield is deferred.
+        hw = (state["video_height"], state["video_width"])
+        pending = None
         for frame_idx in processing_order:
             if frame_idx in consolidated_inds["cond_frame_outputs"]:
                 storage_key = "cond_frame_outputs"
@@ -931,9 +946,13 @@ class SAM2VideoPredictor:
             self._add_output_per_object(state, frame_idx, current_out,
                                         storage_key)
             state["frames_already_tracked"][frame_idx] = {"reverse": reverse}
-            _, video_res_masks = self._get_orig_video_res_output(
-                state, np.asarray(pred_masks, np.float32))
-            yield frame_idx, obj_ids, video_res_masks
+            video_res_masks = self._vidres_jit(
+                jnp.asarray(pred_masks).astype(jnp.float32), hw=hw)
+            if pending is not None:
+                yield pending[0], obj_ids, np.asarray(pending[1])
+            pending = (frame_idx, video_res_masks)
+        if pending is not None:
+            yield pending[0], obj_ids, np.asarray(pending[1])
 
     def _add_output_per_object(self, state, frame_idx, current_out,
                                storage_key):
