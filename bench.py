@@ -15,8 +15,11 @@ runs the other BASELINE configs:
 
 Per-config results print as JSON lines on stderr and aggregate into
 BENCH_DETAIL.json; stdout stays exactly one line (the headline). All timers
-salt the inputs every iteration and fetch a scalar result (the axon runtime
-caches identical executions and under-reports with block_until_ready alone).
+salt the inputs every iteration (the axon runtime caches byte-identical
+executions). Throughput timers dispatch every iteration async and sync once
+at the end: a host sync costs ~35 ms RTT on the tunneled chip, so per-iter
+syncs would serialize the pipeline and under-report; latency timers
+(configs 1 and 5) keep per-iteration syncs, since latency includes them.
 """
 
 import argparse
@@ -75,10 +78,16 @@ def bench_vision(n_clips=4):
                 + jnp.sum(fast.astype(jnp.float32)))
 
     float(encode(params, video, jnp.bfloat16(0)))   # compile + warmup
+    # throughput timing: dispatch all iters async, one device sync at the
+    # end — a per-iter host sync costs ~35 ms RTT on this chip's tunnel
+    # and would serialize the pipeline (serving dispatches clips back to
+    # back; per-iter results are scalars, so there is no result caching —
+    # each iter's salt differs)
     iters = 10
     t0 = time.time()
-    for i in range(1, iters + 1):
-        float(encode(params, video, jnp.bfloat16(i * 1e-3)))
+    outs = [encode(params, video, jnp.bfloat16(i * 1e-3))
+            for i in range(1, iters + 1)]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     frames_per_sec = n_clips * cfg.num_frames / dt
 
@@ -168,17 +177,19 @@ def bench_sam2_video(variant="large", n_frames=16, hw=(480, 854)):
     frames = rng.integers(0, 255, (n_frames, hw[0], hw[1], 3), np.uint8)
 
     def run():
+        import jax
+
         state = pred.init_state(frames)
         pred.add_new_points_or_box(
             state, frame_idx=0, obj_id=1,
             points=np.asarray([[hw[1] / 2, hw[0] / 2]], np.float32),
             labels=np.asarray([1], np.int32))
         t0 = time.time()
-        n = 0
-        for _fidx, _ids, masks in pred.propagate_in_video(state):
-            n += 1
-        float(np.asarray(masks).sum())
-        return (time.time() - t0) / n
+        # yields are device-resident (reference parity: GPU tensors);
+        # sync all frames' masks once at the end of the clip
+        masks = [m for _fidx, _ids, m in pred.propagate_in_video(state)]
+        jax.block_until_ready(masks)
+        return (time.time() - t0) / len(masks)
 
     run()                              # compile + warmup
     per_frame = min(run() for _ in range(2))
@@ -225,9 +236,9 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32):
     float(s)
     iters = 5
     t0 = time.time()
-    for i in range(1, iters + 1):
-        s, cache = run_prefill(params, emb, jnp.bfloat16(i * 1e-3))
-        float(s)
+    outs = [run_prefill(params, emb, jnp.bfloat16(i * 1e-3))[0]
+            for i in range(1, iters + 1)]
+    jax.block_until_ready(outs)
     t_prefill = (time.time() - t0) / iters
 
     @jax.jit
@@ -243,8 +254,9 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32):
 
     float(run_decode(params, cache, jnp.bfloat16(0)))
     t0 = time.time()
-    for i in range(1, iters + 1):
-        float(run_decode(params, cache, jnp.bfloat16(i * 1e-3)))
+    outs = [run_decode(params, cache, jnp.bfloat16(i * 1e-3))
+            for i in range(1, iters + 1)]
+    jax.block_until_ready(outs)
     t_decode = (time.time() - t0) / iters / decode_steps
 
     scale = full.num_layers / n_layers  # extrapolate slice -> 32 layers

@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # run on the virtual 8-device host mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the heavy compiles (full train step through
+# the seg head, real-size configs) dominate suite wall time; cache them
+# across runs. Safe to delete .jax_cache/ at any time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import pytest  # noqa: E402
 
 

@@ -777,11 +777,14 @@ class SAM2VideoPredictor:
         """Resize low-res mask logits to the original video resolution.
 
         One jitted dispatch (reference :1000-1016 does this eagerly per
-        frame; un-jitted eager resize was 60% of propagation wall time on
-        TPU) and a single device->host transfer."""
+        frame). The result stays DEVICE-RESIDENT, matching the reference,
+        which returns GPU tensors (:1014 returns `video_res_masks` on
+        `self.device`) — callers pull with np.asarray only when needed.
+        On this hardware a per-frame host pull costs ~35 ms RTT + the
+        transfer, which would dominate propagation."""
         h, w = state["video_height"], state["video_width"]
         video_res = self._vidres_jit(jnp.asarray(any_res_masks), hw=(h, w))
-        return any_res_masks, np.asarray(video_res)
+        return any_res_masks, video_res
 
     def _consolidate_temp_output_across_obj(self, state, frame_idx, is_cond,
                                             run_mem_encoder,
@@ -888,7 +891,10 @@ class SAM2VideoPredictor:
                            max_frame_num_to_track=None, reverse=False,
                            precompute_chunk: int = 8):
         """Reference :662-745 parity. Yields (frame_idx, obj_ids,
-        video_res_masks [B, 1, H, W] numpy).
+        video_res_masks [B, 1, H, W]) with the masks DEVICE-RESIDENT, like
+        the reference's GPU-tensor yields (:743-745) — the loop issues only
+        async dispatches, so the clip pipelines on-chip; call np.asarray on
+        a yielded mask (or on all of them after the loop) to materialize.
 
         precompute_chunk > 0 batch-encodes the clip's image features up
         front (set 0 to keep the reference's one-frame LRU behavior, e.g.
@@ -919,12 +925,7 @@ class SAM2VideoPredictor:
                                 num_frames - 1)
             processing_order = range(start_frame_idx, end_frame_idx + 1)
 
-        # One-frame lookahead: frame t+1's track is dispatched (async) before
-        # frame t's masks are pulled to host, so the chip never idles on the
-        # per-frame device->host sync. State-dict updates stay per-frame
-        # eager; only the host materialization of the yield is deferred.
         hw = (state["video_height"], state["video_width"])
-        pending = None
         for frame_idx in processing_order:
             if frame_idx in consolidated_inds["cond_frame_outputs"]:
                 storage_key = "cond_frame_outputs"
@@ -948,11 +949,7 @@ class SAM2VideoPredictor:
             state["frames_already_tracked"][frame_idx] = {"reverse": reverse}
             video_res_masks = self._vidres_jit(
                 jnp.asarray(pred_masks).astype(jnp.float32), hw=hw)
-            if pending is not None:
-                yield pending[0], obj_ids, np.asarray(pending[1])
-            pending = (frame_idx, video_res_masks)
-        if pending is not None:
-            yield pending[0], obj_ids, np.asarray(pending[1])
+            yield frame_idx, obj_ids, video_res_masks
 
     def _add_output_per_object(self, state, frame_idx, current_out,
                                storage_key):
