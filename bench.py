@@ -60,11 +60,9 @@ def bench_vision(n_clips=4):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     params = {
-        "vision_tower": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), vit.init(k1, cfg.vision)),
-        "mm_projector": jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16),
-            projector.init(k2, cfg.projector)),
+        "vision_tower": vit.init(k1, cfg.vision, dtype=jnp.bfloat16),
+        "mm_projector": projector.init(k2, cfg.projector,
+                                       dtype=jnp.bfloat16),
     }
 
     video = jax.random.normal(
@@ -216,9 +214,7 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32):
 
     full = LlamaConfig()               # Llama-3-8B shape
     cfg = dataclasses.replace(full, num_layers=n_layers)
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16),
-        llama.init(jax.random.PRNGKey(0), cfg))
+    params = llama.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
 
     emb = jax.random.normal(jax.random.PRNGKey(1),
                             (1, prefill_len, cfg.hidden_size), jnp.bfloat16)
@@ -305,10 +301,7 @@ def bench_e2e(n_llm_layers=8, n_frames=16, decode_tokens=64):
         seg=SegHeadConfig(seg_backbone="sam2.1-hiera-small",
                           max_seg_frames=8),
         num_frames=n_frames, num_slow_frames=8, seg_token_idx=128010)
-    params = llava.init(jax.random.PRNGKey(0), cfg)
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+    params = llava.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     sam2_cfg = seg_head_mod.make_sam2_cfg(cfg.seg)
 
     tpi = llava.visual_tokens_per_sample(cfg)
@@ -398,6 +391,12 @@ def main():
             r = {"config": i, "error": f"{type(e).__name__}: {e}"}
         results[i] = r
         _eprint(r)
+        if len(ids) > 1:
+            # drop executables + their pinned buffers between configs so a
+            # big config (8B-slice LLM) can't OOM the next one's HBM
+            import jax
+
+            jax.clear_caches()
 
     if len(results) > 1:
         with open("BENCH_DETAIL.json", "w") as fh:

@@ -185,7 +185,7 @@ class SAM2AutomaticMaskGenerator:
             m = jnp.asarray(mask_input.transpose(0, 2, 3, 1))
             has_mask = True
         low_res, ious = pred._decode(
-            image_embed, high_res, jnp.asarray(coords), jnp.asarray(labels),
+            pred.params, image_embed, high_res, jnp.asarray(coords), jnp.asarray(labels),
             m, multimask_output=multimask, has_mask=has_mask)
         masks = pred._transforms.postprocess_masks(low_res,
                                                    pred._orig_hw[-1])

@@ -71,7 +71,7 @@ class SAM2ImagePredictor:
         return cls(params, cfg, **kwargs)
 
     # ------------------------------------------------------------------
-    def _encode_impl(self, images):
+    def _encode_impl(self, params, images):
         # raw [B, H, W, 3] uint8/float frames: resize+normalize IN-GRAPH
         # (one dispatch per set_image; retraces per input resolution, like
         # the reference's per-image CPU transform cost but fused on device)
@@ -79,7 +79,7 @@ class SAM2ImagePredictor:
                 or images.dtype == jnp.uint8:
             images = jax.vmap(self._transforms._prep)(images)
         images = images.astype(self.compute_dtype)
-        out = base.forward_image(self.params, self.cfg, images,
+        out = base.forward_image(params, self.cfg, images,
                                  self.interpret)
         feats, pos, sizes = base.prepare_backbone_features(self.cfg, out)
         # add no_mem_embed to the lowest-res level (set_image parity)
@@ -87,7 +87,7 @@ class SAM2ImagePredictor:
             low = feats[-1]
             b, h, w, c = low.shape
             low = (low.reshape(b, h * w, c)
-                   + self.params["no_mem_embed"]).reshape(b, h, w, c)
+                   + params["no_mem_embed"]).reshape(b, h, w, c)
             feats = feats[:-1] + [low]
         return {"image_embed": feats[-1], "high_res_feats": feats[:-1]}
 
@@ -102,29 +102,30 @@ class SAM2ImagePredictor:
             image = np.asarray(image)
             self._orig_hw = [image.shape[:2]]
         # raw frame in; transform happens inside the encode jit
-        self._features = self._encode(jnp.asarray(image)[None])
+        self._features = self._encode(self.params, jnp.asarray(image)[None])
         self._is_image_set = True
 
     def set_image_batch(self, image_list: List[np.ndarray]) -> None:
         self.reset_predictor()
         self._orig_hw = [im.shape[:2] for im in image_list]
         x = self._transforms.forward_batch(image_list)
-        self._features = self._encode(x)
+        self._features = self._encode(self.params, x)
         self._is_image_set = True
         self._is_batch = True
 
     # ------------------------------------------------------------------
-    def _decode_impl(self, image_embed, high_res_feats, coords, labels,
+    def _decode_impl(self, params, image_embed, high_res_feats, coords,
+                     labels,
                      mask_input, multimask_output: bool, has_mask: bool,
                      orig_hw=None, return_logits: bool = True):
         cfg = self.cfg
         sparse, dense = prompt_encoder.apply(
-            self.params["prompt_encoder"], cfg, coords, labels,
+            params["prompt_encoder"], cfg, coords, labels,
             masks=mask_input if has_mask else None)
         image_pe = prompt_encoder.get_dense_pe(
-            self.params["prompt_encoder"], cfg)
+            params["prompt_encoder"], cfg)
         low_res, ious, _, _ = mask_decoder.apply(
-            self.params["mask_decoder"], cfg, image_embed, image_pe, sparse,
+            params["mask_decoder"], cfg, image_embed, image_pe, sparse,
             dense, multimask_output=multimask_output,
             high_res_features=list(high_res_feats), interpret=self.interpret)
         low_res = low_res.astype(jnp.float32)
@@ -197,6 +198,7 @@ class SAM2ImagePredictor:
         image_embed = self._features["image_embed"][img_idx][None]
         high_res = [f[img_idx][None] for f in self._features["high_res_feats"]]
         masks, ious, low_res = self._decode(
+            self.params,
             image_embed, tuple(high_res), jnp.asarray(coords),
             jnp.asarray(labels), jnp.asarray(m),
             multimask_output=multimask_output,

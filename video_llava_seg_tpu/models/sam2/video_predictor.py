@@ -106,13 +106,13 @@ class SAM2VideoPredictor:
     # jitted compute
     # ------------------------------------------------------------------
 
-    def _encode_impl(self, image):
+    def _encode_impl(self, params, image):
         image = image.astype(self.compute_dtype)
-        out = base.forward_image(self.params, self.cfg, image, self.interpret)
+        out = base.forward_image(params, self.cfg, image, self.interpret)
         feats, pos, sizes = base.prepare_backbone_features(self.cfg, out)
         return tuple(feats)
 
-    def _track_impl(self, feats, coords, labels, prev_mask,
+    def _track_impl(self, params, feats, coords, labels, prev_mask,
                     mem_feats, slot_tpos, slot_valid, ptrs, ptr_tpos,
                     ptr_valid, *, has_points: bool, use_memory: bool,
                     multimask: bool, run_mem_encoder: bool = False,
@@ -138,14 +138,14 @@ class SAM2VideoPredictor:
         if not use_memory:
             # init cond frame: directly add no_mem_embed (sam2_base.py:653-659)
             pix = (low.reshape(b, h * w, c)
-                   + self.params["no_mem_embed"]).reshape(b, h, w, c)
+                   + params["no_mem_embed"]).reshape(b, h, w, c)
         else:
-            pix = self._condition_on_memory(low, mem_feats, slot_tpos,
+            pix = self._condition_on_memory(params, low, mem_feats, slot_tpos,
                                             slot_valid, ptrs, ptr_tpos,
                                             ptr_valid)
 
         outs = base.forward_sam_heads(
-            self.params, cfg, pix,
+            params, cfg, pix,
             point_coords=coords if has_points else None,
             point_labels=labels if has_points else None,
             mask_inputs=prev_mask,
@@ -157,7 +157,7 @@ class SAM2VideoPredictor:
         maskmem = None
         if run_mem_encoder and cfg.num_maskmem > 0:
             maskmem, _ = base.encode_new_memory(
-                self.params, cfg, pix, high_res_masks, object_score_logits,
+                params, cfg, pix, high_res_masks, object_score_logits,
                 is_mask_from_pts=is_pts)
             maskmem = maskmem.astype(jnp.bfloat16)
         # masks/scores leave the jit in fp32 (host postprocess + numpy)
@@ -165,8 +165,8 @@ class SAM2VideoPredictor:
                 high_res_masks.astype(jnp.float32), obj_ptr,
                 object_score_logits.astype(jnp.float32), pix, maskmem)
 
-    def _condition_on_memory(self, low, mem_feats, slot_tpos, slot_valid,
-                             ptrs, ptr_tpos, ptr_valid):
+    def _condition_on_memory(self, params, low, mem_feats, slot_tpos,
+                             slot_valid, ptrs, ptr_tpos, ptr_valid):
         """Fixed-slot equivalent of _prepare_memory_conditioned_features
         (sam2_base.py:497-674): concat spatial memory slots + split object
         pointers, mask invalid slots inside attention."""
@@ -188,7 +188,7 @@ class SAM2VideoPredictor:
         mem_pos_grid = jnp.asarray(
             sine_pos_embed_hw(h, w, cfg.memory_encoder.pos_num_feats),
             low.dtype).reshape(1, 1, hw, mem_dim)
-        tpos = jnp.take(self.params["maskmem_tpos_enc"][:, 0, 0],
+        tpos = jnp.take(params["maskmem_tpos_enc"][:, 0, 0],
                         slot_tpos, axis=0)              # [S, mem_dim]
         spatial_pos = (mem_pos_grid + tpos[None, :, None, :]).reshape(
             1, s_slots * hw, mem_dim)
@@ -203,7 +203,7 @@ class SAM2VideoPredictor:
             obj_pos = sine_pos_embed_1d(
                 ptr_tpos.astype(jnp.float32) / t_diff_max, tpos_dim)
             if cfg.proj_tpos_enc_in_obj_ptrs:
-                obj_pos = nn.dense(self.params["obj_ptr_tpos_proj"], obj_pos)
+                obj_pos = nn.dense(params["obj_ptr_tpos_proj"], obj_pos)
         else:
             obj_pos = jnp.zeros((p_slots, mem_dim), low.dtype)
         ptr_tokens = ptrs.reshape(b, p_slots, ratio, mem_dim).reshape(
@@ -224,23 +224,23 @@ class SAM2VideoPredictor:
                                    (b, kv_mask.shape[1])).astype(bool)
 
         out = memory.memory_attention_apply(
-            self.params["memory_attention"], cfg, curr, memory_tokens,
+            params["memory_attention"], cfg, curr, memory_tokens,
             curr_pos, memory_pos,
             num_obj_ptr_tokens=p_slots * ratio,
             interpret=self.interpret, memory_mask=kv_mask)
         return out.reshape(b, h, w, c)
 
-    def _mask_as_output_impl(self, feats, mask_inputs):
+    def _mask_as_output_impl(self, params, feats, mask_inputs):
         cfg = self.cfg
         low = feats[-1]
         b, h, w, c = low.shape
         pix = low  # raw features (track_step mask path skips memory)
-        return base.use_mask_as_output(self.params, cfg, pix,
+        return base.use_mask_as_output(params, cfg, pix,
                                        list(feats[:-1]), mask_inputs)
 
-    def _encode_mem_impl(self, pix_feat, high_res_masks, scores, *,
-                         is_pts: bool):
-        return base.encode_new_memory(self.params, self.cfg, pix_feat,
+    def _encode_mem_impl(self, params, pix_feat, high_res_masks, scores,
+                         *, is_pts: bool):
+        return base.encode_new_memory(params, self.cfg, pix_feat,
                                       high_res_masks, scores,
                                       is_mask_from_pts=is_pts)
 
@@ -368,7 +368,7 @@ class SAM2VideoPredictor:
         if feats is None:
             image = jnp.asarray(np.asarray(state["images"][frame_idx]),
                                 self.compute_dtype)[None]
-            feats = self._encode_jit(image)
+            feats = self._encode_jit(self.params, image)
             if not state.get("features_precomputed"):
                 state["cached_features"] = {}
             state["cached_features"][frame_idx] = feats
@@ -400,7 +400,7 @@ class SAM2VideoPredictor:
                 batch_img = jnp.asarray(
                     np.stack([np.asarray(imgs[i]) for i in take]),
                     self.compute_dtype)
-            feats = self._encode_jit(batch_img)
+            feats = self._encode_jit(self.params, batch_img)
             for j, fi in enumerate(idxs):
                 cache[fi] = tuple(f[j:j + 1] for f in feats)
         state["features_precomputed"] = True
@@ -578,7 +578,8 @@ class SAM2VideoPredictor:
 
         if (mask_inputs is not None
                 and cfg.use_mask_input_as_output_without_sam):
-            outs = self._mask_as_output_jit(feats, mask_inputs)
+            outs = self._mask_as_output_jit(self.params, feats,
+                                            mask_inputs)
             (_, _, _, low_res_masks, high_res_masks, obj_ptr,
              object_score_logits) = outs
             pix = feats[-1]
@@ -603,7 +604,7 @@ class SAM2VideoPredictor:
             multimask = self._use_multimask(is_init_cond_frame, point_inputs)
             (low_res_masks, high_res_masks, obj_ptr, object_score_logits,
              pix, maskmem) = self._track_jit(
-                feats, coords, labels, prev_mask, *mem,
+                self.params, feats, coords, labels, prev_mask, *mem,
                 has_points=has_points, use_memory=use_memory,
                 multimask=multimask,
                 run_mem_encoder=run_mem_encoder and cfg.num_maskmem > 0,
@@ -622,7 +623,7 @@ class SAM2VideoPredictor:
         if run_mem_encoder and cfg.num_maskmem > 0:
             if maskmem is None:  # mask-as-output path: encode separately
                 maskmem, _ = self._encode_mem_jit(
-                    pix, high_res_masks, object_score_logits,
+                    self.params, pix, high_res_masks, object_score_logits,
                     is_pts=point_inputs is not None)
                 maskmem = maskmem.astype(jnp.bfloat16)
             current_out["maskmem_features"] = maskmem
@@ -633,7 +634,7 @@ class SAM2VideoPredictor:
                             is_mask_from_pts):
         feats = self._get_image_feature(state, frame_idx, batch_size)
         maskmem_features, _ = self._encode_mem_jit(
-            feats[-1], high_res_masks, object_score_logits,
+            self.params, feats[-1], high_res_masks, object_score_logits,
             is_pts=is_mask_from_pts)
         return maskmem_features.astype(jnp.bfloat16)
 
@@ -642,7 +643,7 @@ class SAM2VideoPredictor:
         feats = self._get_image_feature(state, frame_idx, 1)
         mask_inputs = jnp.zeros((1, self.image_size, self.image_size, 1),
                                 jnp.float32)
-        outs = self._mask_as_output_jit(feats, mask_inputs)
+        outs = self._mask_as_output_jit(self.params, feats, mask_inputs)
         return outs[5]
 
     # ------------------------------------------------------------------
