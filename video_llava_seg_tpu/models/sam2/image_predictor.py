@@ -133,10 +133,13 @@ class SAM2ImagePredictor:
         if orig_hw is None:
             return low_res, ious
         # postprocess fused in-graph: hole fill + resize to original dims;
-        # threshold in-graph too (bool leaves the device 4x smaller)
+        # threshold + bit-pack in-graph — packed bits leave the device 32x
+        # smaller than fp32 logits (device->host bytes are the dominant
+        # predict cost on a tunneled chip, see BENCH_NOTES.md); the caller
+        # unpacks to the API's bool array on host
         masks = self._transforms.postprocess_masks(low_res, orig_hw)
         if not return_logits:
-            masks = masks > self.mask_threshold
+            masks = jnp.packbits(masks > self.mask_threshold, axis=-1)
         return masks, ious, jnp.clip(low_res, -32.0, 32.0)
 
     def _prep_prompts(self, point_coords, point_labels, box, mask_input,
@@ -205,8 +208,12 @@ class SAM2ImagePredictor:
             has_mask=mask_input is not None,
             orig_hw=tuple(self._orig_hw[img_idx]),
             return_logits=bool(return_logits))
-        return (np.asarray(masks[0]), np.asarray(ious[0]),
-                np.asarray(low_res[0]))
+        masks_np = np.asarray(masks[0])
+        if not return_logits:  # unpack the in-graph bit-packing
+            w = self._orig_hw[img_idx][1]
+            masks_np = np.unpackbits(
+                masks_np, axis=-1)[..., :w].astype(bool)
+        return (masks_np, np.asarray(ious[0]), np.asarray(low_res[0]))
 
     def predict_batch(self, point_coords_batch=None, point_labels_batch=None,
                       box_batch=None, mask_input_batch=None,
