@@ -258,6 +258,18 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32):
     jax.block_until_ready(outs)
     t_decode = (time.time() - t0) / iters / decode_steps
 
+    # weight-only int8 serving path (reference --load_8bit parity): decode
+    # is weight-bytes-bound at batch 1, so halving them is a direct win
+    from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+    params_q = quantize_tree(params, bits=8)
+    float(run_decode(params_q, cache, jnp.bfloat16(0)))
+    t0 = time.time()
+    outs = [run_decode(params_q, cache, jnp.bfloat16(i * 1e-3))
+            for i in range(1, iters + 1)]
+    jax.block_until_ready(outs)
+    t_decode_q = (time.time() - t0) / iters / decode_steps
+
     scale = full.num_layers / n_layers  # extrapolate slice -> 32 layers
     return {
         "config": 4, "metric": "caption_llm_throughput",
@@ -266,6 +278,9 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32):
         "prefill_tok_s_extrap_32L": round(prefill_len / (t_prefill * scale),
                                           0),
         "decode_ms_per_tok_extrap_32L": round(1e3 * t_decode * scale, 2),
+        "decode_ms_per_tok_int8_slice": round(1e3 * t_decode_q, 2),
+        "decode_ms_per_tok_int8_extrap_32L": round(1e3 * t_decode_q * scale,
+                                                   2),
         "n_layers_slice": n_layers, "prefill_len": prefill_len,
         "note": "8B bf16 params exceed one v5e HBM; slice measured,"
                 " linear layer-count extrapolation",
