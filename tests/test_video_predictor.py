@@ -167,3 +167,49 @@ def test_async_loading_frames_matches_sync():
     for i in range(5):
         np.testing.assert_allclose(loader[i], np.asarray(sync)[i],
                                    atol=1e-6)
+
+
+def test_scan_path_matches_per_frame(predictors, video_dir):
+    """The whole-clip lax.scan tracking path must reproduce the per-frame
+    path's outputs (same slot contents, different packing — attention is
+    masked identically)."""
+    _, mine = predictors
+
+    def run(use_scan, reverse=False, start=None):
+        state = mine.init_state(video_dir)
+        sf = 0 if start is None else start
+        mine.add_new_points_or_box(state, sf, 1,
+                                   points=np.array([[40.0, 60.0]]),
+                                   labels=np.array([1]))
+        mine.use_scan_propagation = use_scan
+        try:
+            outs = {f: np.asarray(m) for f, _ids, m in
+                    mine.propagate_in_video(state, start_frame_idx=start,
+                                            reverse=reverse)}
+        finally:
+            mine.use_scan_propagation = True
+        return outs
+
+    for reverse, start in ((False, None), (True, 3)):
+        scan = run(True, reverse, start)
+        loop = run(False, reverse, start)
+        assert set(scan) == set(loop)
+        for f in scan:
+            np.testing.assert_allclose(scan[f], loop[f], atol=2e-2,
+                                       rtol=1e-3, err_msg=f"frame {f}")
+
+
+def test_scan_falls_back_after_interaction(predictors, video_dir):
+    """Mid-video corrections make the history non-contiguous; the scan gate
+    must reject it and the per-frame path must still produce all frames."""
+    _, mine = predictors
+    state = mine.init_state(video_dir)
+    mine.add_new_points_or_box(state, 0, 1, points=np.array([[40.0, 60.0]]),
+                               labels=np.array([1]))
+    list(mine.propagate_in_video(state))  # first pass (scan)
+    # correction on frame 3 -> cond frame inside the range
+    mine.add_new_points_or_box(state, 3, 1, points=np.array([[44.0, 62.0]]),
+                               labels=np.array([1]))
+    outs = list(mine.propagate_in_video(state))
+    assert [o[0] for o in outs] == list(range(NUM_FRAMES))
+    assert all(np.isfinite(np.asarray(o[2])).all() for o in outs)

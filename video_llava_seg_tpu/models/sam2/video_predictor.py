@@ -92,6 +92,14 @@ class SAM2VideoPredictor:
         self._fill_holes_jit = jax.jit(self._fill_holes_impl)
         self._vidres_jit = jax.jit(self._vidres_impl,
                                    static_argnames=("hw",))
+        # whole-clip lax.scan tracking (one dispatch per clip chunk); falls
+        # back to the per-frame path for interactive histories it can't
+        # express (see _scan_eligible)
+        self.use_scan_propagation = True
+        self.scan_chunk = 32
+        self._scan_jit = jax.jit(
+            self._scan_track_impl,
+            static_argnames=("reverse", "multimask", "hw", "max_ptrs"))
 
     @classmethod
     def from_pretrained(cls, model_id: str, **kwargs):
@@ -888,6 +896,244 @@ class SAM2VideoPredictor:
             assert frame_idx in output_dict["cond_frame_outputs"]
             consolidated_inds["non_cond_frame_outputs"].discard(frame_idx)
 
+    # ------------------------------------------------------------------
+    # whole-clip scan tracking
+    # ------------------------------------------------------------------
+
+    def _scan_track_impl(self, params, feats, idxs, scan_start, cond_mem,
+                         cond_ptrs, cond_idx, mem_ring, ptr_ring, *,
+                         reverse: bool, multimask: bool, hw,
+                         max_ptrs: int):
+        """Track a contiguous run of frames as ONE `lax.scan` dispatch.
+
+        The reference walks frames in Python, rebuilding a ragged memory
+        list per frame (sam2_video_predictor.py:662-745, sam2_base.py:
+        497-674). Here the non-interactive propagation path re-expresses
+        that bookkeeping as index arithmetic inside a scan: spatial
+        memories and object pointers live in fixed-size rings carried
+        through the scan, slot selection is computed from the frame index,
+        and invalid slots are masked inside attention. One compiled
+        program tracks the whole chunk with zero host round trips.
+
+        feats: 3-level tuple, each [T, B, h, w, c] (stacked clip features).
+        idxs: [T] absolute frame indices (consecutive, +1 or -1 steps).
+        scan_start: scalar — first tracked frame of the whole run (ring
+        entries outside [scan_start, current) are masked invalid).
+        cond_mem [B, Sc, HW, mem], cond_ptrs [B, Sc, C], cond_idx [Sc]:
+        conditioning-frame memories (constant across the scan).
+        mem_ring [R, B, h, w, mem], ptr_ring [P, B, C]: carried rings
+        (pass zeros for a fresh run; pass the previous chunk's rings to
+        continue a chunked clip).
+
+        Returns (mem_ring, ptr_ring, low_res [T, B, 1, H4, W4] fp32
+        hole-filled, vidres [T, B, 1, *hw] fp32, obj_ptr [T, B, C],
+        scores [T, B, 1] fp32, maskmem [T, B, h, w, mem] bf16)."""
+        cfg = self.cfg
+        sc = cond_idx.shape[0]
+        n_mm = cfg.num_maskmem
+        stride = max(cfg.memory_temporal_stride_for_eval, 1)
+        r_mem = mem_ring.shape[0]
+        p_ring = ptr_ring.shape[0]
+        b = cond_ptrs.shape[0]
+        hgrid = mem_ring.shape[2]
+        mem_dim = cfg.mem_dim
+        hwgrid = hgrid * mem_ring.shape[3]
+        # slot tpos indices are position-fixed: cond slots at
+        # num_maskmem-1, then t_pos 1..num_maskmem-1 -> num_maskmem-2..0
+        slot_tpos = jnp.asarray(
+            [n_mm - 1] * sc + [n_mm - p - 1 for p in range(1, n_mm)],
+            jnp.int32)
+        max_ptrs = min(max_ptrs, p_ring)
+
+        def in_range(prev, f):
+            if reverse:
+                return (prev <= scan_start) & (prev >= f + 1)
+            return (prev >= scan_start) & (prev <= f - 1)
+
+        def body(carry, x):
+            mem_ring, ptr_ring = carry
+            f = x[0]
+            feats_t = x[1]
+
+            # ---- spatial memory slots
+            noncond_feats = []
+            noncond_valid = []
+            for t_pos in range(1, n_mm):
+                t_rel = n_mm - t_pos
+                if t_rel == 1:
+                    prev = f + 1 if reverse else f - 1
+                elif not reverse:
+                    prev = ((f - 2) // stride) * stride - (t_rel - 2) * stride
+                else:
+                    prev = -(-(f + 2) // stride) * stride \
+                        + (t_rel - 2) * stride
+                noncond_valid.append(in_range(prev, f))
+                noncond_feats.append(
+                    mem_ring[prev % r_mem].reshape(b, hwgrid, mem_dim))
+            mem_feats = jnp.concatenate(
+                [cond_mem, jnp.stack(noncond_feats, axis=1)], axis=1)
+            slot_valid = jnp.concatenate(
+                [jnp.ones((sc,), bool), jnp.stack(noncond_valid)])
+
+            # ---- object pointers: cond first, then t_diff 1..P-Sc
+            # (matches the per-frame path's pos_and_ptrs[:P] truncation)
+            sign = -1 if reverse else 1
+            if cfg.use_signed_tpos_enc_to_obj_ptrs:
+                cond_tpos = ((f - cond_idx) * sign).astype(jnp.float32)
+            else:
+                cond_tpos = jnp.abs(f - cond_idx).astype(jnp.float32)
+            nc_ptrs, nc_tpos, nc_valid = [], [], []
+            for t_diff in range(1, p_ring - sc + 1):
+                t = f + t_diff if reverse else f - t_diff
+                valid = in_range(t, f) & (t_diff < max_ptrs)
+                nc_ptrs.append(ptr_ring[t % p_ring])
+                nc_tpos.append(jnp.float32(t_diff))
+                nc_valid.append(valid)
+            ptrs = jnp.concatenate(
+                [cond_ptrs, jnp.stack(nc_ptrs, axis=1)], axis=1)
+            ptr_tpos = jnp.concatenate([cond_tpos, jnp.stack(nc_tpos)])
+            ptr_valid = jnp.concatenate(
+                [jnp.ones((sc,), bool), jnp.stack(nc_valid)])
+            if not cfg.use_obj_ptrs_in_encoder:
+                ptr_valid = jnp.zeros_like(ptr_valid)
+
+            (low_res, _high, obj_ptr, score, _pix, maskmem) = \
+                self._track_impl(
+                    params, feats_t,
+                    jnp.zeros((b, 1, 2)), -jnp.ones((b, 1), jnp.int32),
+                    None, mem_feats, slot_tpos, slot_valid, ptrs, ptr_tpos,
+                    ptr_valid, has_points=False, use_memory=True,
+                    multimask=multimask, run_mem_encoder=True, is_pts=False)
+
+            mem_ring = jax.lax.dynamic_update_slice(
+                mem_ring, maskmem.astype(mem_ring.dtype)[None],
+                (f % r_mem, 0, 0, 0, 0))
+            ptr_ring = jax.lax.dynamic_update_slice(
+                ptr_ring, obj_ptr.astype(ptr_ring.dtype)[None],
+                (f % p_ring, 0, 0))
+            return (mem_ring, ptr_ring), (low_res, obj_ptr, score, maskmem)
+
+        (mem_ring, ptr_ring), (low, optr, score, maskmem) = jax.lax.scan(
+            body, (mem_ring, ptr_ring),
+            (idxs, feats))
+
+        t, _, m = low.shape[:3]
+        if self.fill_hole_area > 0:
+            low = self._fill_holes_impl(
+                low.reshape(t * b, m, *low.shape[3:])).reshape(low.shape)
+        # vmap over frames so the non-overlap constraint (when enabled)
+        # stays per-frame across objects, as in the per-frame path
+        vidres = jax.vmap(lambda mm: self._vidres_impl(mm, hw=hw))(low)
+        return mem_ring, ptr_ring, low, vidres, optr, score, maskmem
+
+    def _scan_eligible(self, state, processing_order, to_track, reverse,
+                       clear) -> bool:
+        """The scan path expresses exactly the non-interactive propagation
+        pattern: one contiguous run of untracked frames whose memory can
+        only come from the fixed conditioning set + frames the scan itself
+        produced. Anything else falls back to the per-frame path."""
+        if not self.use_scan_propagation or clear or not to_track:
+            return False
+        if len(to_track) < 2 or self.cfg.num_maskmem <= 0:
+            return False
+        # scan stacks precomputed features; without the cache, fall back
+        if any(f not in state["cached_features"] for f in to_track):
+            return False
+        # contiguous tail of the processing order
+        order = list(processing_order)
+        if to_track != order[len(order) - len(to_track):]:
+            return False
+        step = -1 if reverse else 1
+        if any(b - a != step for a, b in zip(to_track, to_track[1:])):
+            return False
+        # no pre-existing non-cond memories (they could feed slots from
+        # outside the scan's ring)
+        if state["output_dict"]["non_cond_frame_outputs"]:
+            return False
+        # all cond frames strictly before the run (after it, for reverse),
+        # and none dropped by the cond-attention limit
+        cond = state["output_dict"]["cond_frame_outputs"]
+        first = to_track[0]
+        if reverse:
+            if any(t < first for t in cond):
+                return False
+        elif any(t > first for t in cond):
+            return False
+        limit = self.cfg.max_cond_frames_in_attn
+        if limit != -1 and len(cond) > limit:
+            return False
+        return True
+
+    def _propagate_scan(self, state, to_track, reverse):
+        """Run the scan path over `to_track` (consecutive frame indices),
+        store per-frame outputs in the session dicts, and return the
+        stacked video-res masks [T, B, 1, H, W] (device-resident)."""
+        cfg = self.cfg
+        output_dict = state["output_dict"]
+        batch_size = self._get_obj_num(state)
+        hw = (state["video_height"], state["video_width"])
+        s = cfg.image_embedding_size
+        stride = max(cfg.memory_temporal_stride_for_eval, 1)
+        r_mem = max(cfg.num_maskmem, (cfg.num_maskmem - 2) * stride + 2)
+        p_ring = cfg.max_obj_ptrs_in_encoder
+
+        cond_items = sorted(output_dict["cond_frame_outputs"].items())
+        cond_idx = jnp.asarray([t for t, _ in cond_items], jnp.int32)
+        cond_mem = jnp.stack(
+            [out["maskmem_features"] for _, out in cond_items],
+            axis=1).reshape(batch_size, len(cond_items), s * s, cfg.mem_dim)
+        cond_ptrs = jnp.stack(
+            [out["obj_ptr"] for _, out in cond_items],
+            axis=1).astype(self.compute_dtype)
+
+        mem_ring = jnp.zeros((r_mem, batch_size, s, s, cfg.mem_dim),
+                             jnp.bfloat16)
+        ptr_ring = jnp.zeros((p_ring, batch_size, cfg.hidden_dim),
+                             self.compute_dtype)
+
+        multimask = self._use_multimask(False, None)
+        scan_start = jnp.int32(to_track[0])
+        all_out = []
+        for c0 in range(0, len(to_track), self.scan_chunk):
+            chunk = to_track[c0:c0 + self.scan_chunk]
+            feats = []
+            for lvl in range(3):
+                stacked = jnp.concatenate(
+                    [state["cached_features"][f][lvl] for f in chunk], axis=0)
+                if batch_size > 1:
+                    stacked = jnp.broadcast_to(
+                        stacked[:, None],
+                        (len(chunk), batch_size) + stacked.shape[1:])
+                else:
+                    stacked = stacked[:, None]
+                feats.append(stacked)
+            idxs = jnp.asarray(chunk, jnp.int32)
+            (mem_ring, ptr_ring, low, vidres, optr, score,
+             maskmem) = self._scan_jit(
+                self.params, tuple(feats), idxs, scan_start, cond_mem,
+                cond_ptrs, cond_idx, mem_ring, ptr_ring,
+                reverse=reverse, multimask=multimask, hw=hw,
+                max_ptrs=min(state["num_frames"],
+                             cfg.max_obj_ptrs_in_encoder))
+            all_out.append((chunk, low, vidres, optr, score, maskmem))
+
+        stacked_vidres = []
+        for chunk, low, vidres, optr, score, maskmem in all_out:
+            for i, f in enumerate(chunk):
+                current_out = {
+                    "maskmem_features": maskmem[i],
+                    "maskmem_pos_enc": None,
+                    "pred_masks": low[i],
+                    "obj_ptr": optr[i],
+                    "object_score_logits": score[i],
+                }
+                output_dict["non_cond_frame_outputs"][f] = current_out
+                self._add_output_per_object(state, f, current_out,
+                                            "non_cond_frame_outputs")
+                state["frames_already_tracked"][f] = {"reverse": reverse}
+                stacked_vidres.append(vidres[i])
+        return stacked_vidres
+
     def propagate_in_video(self, state, start_frame_idx=None,
                            max_frame_num_to_track=None, reverse=False,
                            precompute_chunk: int = 8):
@@ -927,6 +1173,33 @@ class SAM2VideoPredictor:
             processing_order = range(start_frame_idx, end_frame_idx + 1)
 
         hw = (state["video_height"], state["video_width"])
+        to_track = [
+            f for f in processing_order
+            if f not in consolidated_inds["cond_frame_outputs"]
+            and f not in consolidated_inds["non_cond_frame_outputs"]]
+        if self._scan_eligible(state, processing_order, to_track, reverse,
+                               clear):
+            # whole-clip scan: stored frames yield first (they precede the
+            # run by construction), then one dispatch tracks the rest
+            for frame_idx in processing_order:
+                if frame_idx == to_track[0]:
+                    break
+                key = ("cond_frame_outputs"
+                       if frame_idx in consolidated_inds["cond_frame_outputs"]
+                       else "non_cond_frame_outputs")
+                current_out = output_dict[key][frame_idx]
+                self._add_output_per_object(state, frame_idx, current_out,
+                                            key)
+                state["frames_already_tracked"][frame_idx] = {
+                    "reverse": reverse}
+                yield frame_idx, obj_ids, self._vidres_jit(
+                    jnp.asarray(current_out["pred_masks"]).astype(
+                        jnp.float32), hw=hw)
+            vidres_frames = self._propagate_scan(state, to_track, reverse)
+            for frame_idx, masks in zip(to_track, vidres_frames):
+                yield frame_idx, obj_ids, masks
+            return
+
         for frame_idx in processing_order:
             if frame_idx in consolidated_inds["cond_frame_outputs"]:
                 storage_key = "cond_frame_outputs"
