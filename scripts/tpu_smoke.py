@@ -140,6 +140,15 @@ def check_train_step():
         assert np.isfinite(loss2), f"non-finite loss2: {loss2}"
         print(f"  train step ok on {jax.devices()[0].platform}: "
               f"loss={loss:.4f} -> {loss2:.4f} ({time.time()-t0:.1f}s)")
+        # steady-state step rate (async dispatch, one sync)
+        t0 = time.time()
+        n = 10
+        for i in range(n):
+            state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+        jax.block_until_ready(metrics["loss"])
+        dt = (time.time() - t0) / n
+        print(f"  steady state: {dt*1e3:.1f} ms/step "
+              f"({1/dt:.1f} steps/s, tiny cfg, batch {b})")
     finally:
         seg_head_mod.make_sam2_cfg = orig_make
 
