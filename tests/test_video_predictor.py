@@ -213,3 +213,27 @@ def test_scan_falls_back_after_interaction(predictors, video_dir):
     outs = list(mine.propagate_in_video(state))
     assert [o[0] for o in outs] == list(range(NUM_FRAMES))
     assert all(np.isfinite(np.asarray(o[2])).all() for o in outs)
+
+
+def test_predictor_jits_take_params_as_arguments(predictors):
+    """Weights must be jit ARGUMENTS, not closure constants: closed-over
+    params get baked into the HLO as literals (hiera-large's ~600 MB blew
+    the remote-compile request limit and pinned a weight copy per
+    executable)."""
+    import inspect
+
+    from video_llava_seg_tpu.models.sam2.image_predictor import (
+        SAM2ImagePredictor,
+    )
+
+    for fn in (SAM2VideoPredictor._encode_impl,
+               SAM2VideoPredictor._track_impl,
+               SAM2VideoPredictor._mask_as_output_impl,
+               SAM2VideoPredictor._encode_mem_impl,
+               SAM2VideoPredictor._scan_track_impl,
+               SAM2ImagePredictor._encode_impl,
+               SAM2ImagePredictor._decode_impl):
+        args = inspect.signature(fn).parameters
+        assert list(args)[1] == "params", fn.__qualname__
+        src = inspect.getsource(fn)
+        assert "self.params" not in src, fn.__qualname__
