@@ -38,6 +38,10 @@ def check_flash_grads():
         (1, 8, 8, 1024, 1024, 128, True),
         (1, 8, 2, 2048, 2048, 128, True),
         (2, 4, 4, 577, 577, 64, False),   # ViT regime (single-block path)
+        # batch>1 memory-attention regime: the kv_bias block spec was only
+        # legal at B==1 until 2026-08 (multi-object tracking crashed on
+        # TPU; CPU interpret mode never enforces Mosaic tiling)
+        (3, 2, 2, 512, 4096, 64, False),
     ]
     for B, Hq, Hkv, Sq, Skv, D, causal in cases:
         key = jax.random.PRNGKey(0)
@@ -46,13 +50,23 @@ def check_flash_grads():
         k = jax.random.normal(kk, (B, Hkv, Skv, D), jnp.bfloat16)
         v = jax.random.normal(kv, (B, Hkv, Skv, D), jnp.bfloat16)
         w = jax.random.normal(kw, (B, Hq, Sq, D), jnp.bfloat16)
+        # per-key masking on the batched non-causal case (memory-attention
+        # regime): exercises the kv_bias spec at B > 1
+        kv_mask = None
+        kv_bias = None
+        if not causal and B > 1:
+            kv_mask = jax.random.uniform(kw, (B, Skv)) > 0.25
+            kv_bias = jnp.where(kv_mask, 0.0,
+                                -0.7 * float(jnp.finfo(jnp.float32).max))
 
         def loss_flash(q, k, v):
-            return jnp.sum(flash_attention(q, k, v, causal=causal)
+            return jnp.sum(flash_attention(q, k, v, causal=causal,
+                                           kv_bias=kv_bias)
                            .astype(jnp.float32) * w.astype(jnp.float32))
 
         def loss_ref(q, k, v):
-            return jnp.sum(attention_reference(q, k, v, causal=causal)
+            return jnp.sum(attention_reference(q, k, v, causal=causal,
+                                               kv_mask=kv_mask)
                            .astype(jnp.float32) * w.astype(jnp.float32))
 
         t0 = time.time()

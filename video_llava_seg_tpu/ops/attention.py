@@ -145,7 +145,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
             preferred_element_type=jnp.float32) * scale  # [block_q, block_k]
 
         # kv padding + optional per-key masking arrive as an additive bias
-        s = s + bias_ref[...]
+        s = s + bias_ref[0]
         if causal:
             col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                    + ik * block_k)
@@ -197,7 +197,7 @@ def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[...]
+    s = s + bias_ref[0]
     if causal:
         iq = pl.program_id(2)
         row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -238,10 +238,10 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
     if kv_bias is not None:
         bias = pad_bias + jnp.pad(kv_bias.astype(jnp.float32),
                                   ((0, 0), (0, skv_p - kv_bias.shape[1])))
-        bias_index = lambda b, h, iq: (b, 0)  # noqa: E731
+        bias_index = lambda b, h, iq: (b, 0, 0)  # noqa: E731
     else:
         bias = pad_bias
-        bias_index = lambda b, h, iq: (0, 0)  # noqa: E731
+        bias_index = lambda b, h, iq: (0, 0, 0)  # noqa: E731
     kernel = functools.partial(
         _flash_kernel_single, scale=scale, causal=causal, block_q=block_q,
         q_offset=q_offset, sum_col=sum_col, save_lse=save_lse)
@@ -262,7 +262,10 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
             pl.BlockSpec((1, 1, skv_p, d_p),
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
-            pl.BlockSpec((1, skv_p), bias_index),
+            # bias rides as [B, 1, skv_p]: a (1, block) spec on a 2-D
+            # array is only legal when B == 1 (Mosaic requires the
+            # second-to-last block dim to divide 8 or equal the array dim)
+            pl.BlockSpec((1, 1, skv_p), bias_index),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -270,7 +273,7 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias[:, None])
     return res if save_lse else res[0]
 
 
@@ -344,10 +347,10 @@ def _fa_core(q, k, v, kv_bias, *, causal: bool, scale: float,
     if kv_bias is not None:
         bias = pad_bias + jnp.pad(kv_bias.astype(jnp.float32),
                                   ((0, 0), (0, skv_p - Skv)))
-        bias_index = lambda b, h, iq, ik: (b, ik)  # noqa: E731
+        bias_index = lambda b, h, iq, ik: (b, 0, ik)  # noqa: E731
     else:
         bias = pad_bias
-        bias_index = lambda b, h, iq, ik: (0, ik)  # noqa: E731
+        bias_index = lambda b, h, iq, ik: (0, 0, ik)  # noqa: E731
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal, q_len=Sq, kv_len=Skv,
@@ -373,7 +376,7 @@ def _fa_core(q, k, v, kv_bias, *, causal: bool, scale: float,
                          lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
             pl.BlockSpec((1, 1, block_k, d_p),
                          lambda b, h, iq, ik, g=group: (b, h // g, ik, 0)),
-            pl.BlockSpec((1, block_k), bias_index),
+            pl.BlockSpec((1, 1, block_k), bias_index),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -387,7 +390,7 @@ def _fa_core(q, k, v, kv_bias, *, causal: bool, scale: float,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias)
+    )(qp, kp, vp, bias[:, None])
     if save_lse:
         out, lse = res
         return out[:, :, :Sq, :D], lse[:, :, :Sq, 0]
@@ -435,7 +438,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[...]
+        s = s + bias_ref[0]
         if causal:
             col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                    + ik * block_k)
@@ -486,7 +489,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[...]
+        s = s + bias_ref[0]
         if causal:
             col = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                    + ik * block_k)
@@ -559,7 +562,7 @@ def _fa_bwd_impl(q, k, v, kv_bias, out, lse, dout, *, causal, scale,
     lse_spec4 = pl.BlockSpec((1, 1, block_q, _LANES),
                              lambda b, h, iq, ik: (b, h, iq, 0))
     bias_spec4 = pl.BlockSpec(
-        (1, block_k), lambda b, h, iq, ik, bb=bias_b: (b * bb, ik))
+        (1, 1, block_k), lambda b, h, iq, ik, bb=bias_b: (b * bb, 0, ik))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -577,7 +580,7 @@ def _fa_bwd_impl(q, k, v, kv_bias, out, lse, dout, *, causal, scale,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias, op, dop, lse_p)
+    )(qp, kp, vp, bias[:, None], op, dop, lse_p)
 
     # dK/dV: grid (B, Hkv, kv blocks, group, q blocks)
     def qhead5(b, hk, ik, g, iq):
@@ -588,7 +591,8 @@ def _fa_bwd_impl(q, k, v, kv_bias, out, lse, dout, *, causal, scale,
     kv_spec5 = pl.BlockSpec((1, 1, block_k, d_p),
                             lambda b, hk, ik, g, iq: (b, hk, ik, 0))
     bias_spec5 = pl.BlockSpec(
-        (1, block_k), lambda b, hk, ik, g, iq, bb=bias_b: (b * bb, ik))
+        (1, 1, block_k),
+        lambda b, hk, ik, g, iq, bb=bias_b: (b * bb, 0, ik))
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -608,7 +612,7 @@ def _fa_bwd_impl(q, k, v, kv_bias, out, lse, dout, *, causal, scale,
                                  "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, bias, op, dop, lse_p)
+    )(qp, kp, vp, bias[:, None], op, dop, lse_p)
 
     return (dq[:, :, :Sq, :D], dk[:, :, :Skv, :D], dv[:, :, :Skv, :D])
 
