@@ -393,6 +393,13 @@ BENCHES = {1: bench_sam2_image, 2: bench_sam2_video, 3: bench_vision,
 
 
 def main():
+    # persistent compilation cache: remote-compiles over the tunneled chip
+    # take minutes; cache them across bench invocations
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="3",
                     help="comma-separated BASELINE config ids (1-5)")
