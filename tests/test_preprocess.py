@@ -16,13 +16,14 @@ class ToyTokenizer:
     specials (and <image>) as atomic tokens. Satisfies the HF subset both
     preprocessors consume."""
 
-    def __init__(self):
+    def __init__(self, add_bos=True):
         self.vocab = {"<bos>": 1, "<pad>": 0}
         self.bos_token_id = 1
         self.pad_token_id = 0
         self.model_max_length = 4096
         self.legacy = True
-        self._pat = re.compile(r"<\|[^|]+?\|>|<image>|[^\s<]+|<")
+        self.add_bos = add_bos  # MPT's GPT-NeoX tokenizer prepends no BOS
+        self._pat = re.compile(r"<\|[^|]+?\|>|<image>|</?s>|[^\s<]+|<")
 
     def _id(self, w):
         if w not in self.vocab:
@@ -30,8 +31,8 @@ class ToyTokenizer:
         return self.vocab[w]
 
     def __call__(self, text, **kw):
-        ids = [self.bos_token_id] + [self._id(w)
-                                     for w in self._pat.findall(text)]
+        ids = ([self.bos_token_id] if self.add_bos else []) + \
+            [self._id(w) for w in self._pat.findall(text)]
 
         class R:
             pass
@@ -107,6 +108,83 @@ def test_llama3_masking_parity():
     # some tokens are supervised (the answer), some masked (instruction)
     lab = mine["labels"][0]
     assert (lab == -100).any() and (lab != -100).any()
+
+
+MULTI_TURN = [
+    {"from": "human", "value": "<video>\nDescribe the video."},
+    {"from": "gpt", "value": "A dog runs across the field ."},
+    {"from": "human", "value": "What color is the dog ?"},
+    {"from": "gpt", "value": "The dog is brown ."},
+]
+
+
+def _parity_case(template, ref_fn_name, sources, legacy=True,
+                 expect_supervised=True, add_bos=True):
+    """Run our dispatch and the reference preprocessor on identical sources
+    + toy tokenizer; assert ids and label masks match token for token."""
+    ref_pre, ref_conv = _load_reference()
+    from video_llava_seg_tpu.data.preprocess import (
+        PreprocessArgs,
+        preprocess,
+        preprocess_multimodal,
+    )
+    import copy
+
+    args = PreprocessArgs(num_frames=4, num_slow_frames=2)
+    mine_src = preprocess_multimodal([copy.deepcopy(sources)], args)
+    tok = ToyTokenizer(add_bos=add_bos)
+    tok.legacy = legacy
+    mine = preprocess(mine_src, tok, has_image=True, template=template)
+
+    class A:
+        is_multimodal = True
+        num_slow_frames = 2
+        num_frames = 4
+        mm_use_im_start_end = False
+        mm_use_sf_vid_separator_token = False
+
+    ref_conv.default_conversation = ref_conv.conv_templates[template]
+    ref_pre.conversation_lib.default_conversation = \
+        ref_conv.conv_templates[template]
+    ref_src = ref_pre.preprocess_multimodal([copy.deepcopy(sources)], A())
+    tok2 = ToyTokenizer(add_bos=add_bos)
+    tok2.legacy = legacy
+    ref = getattr(ref_pre, ref_fn_name)(ref_src, tok2, has_image=True)
+
+    np.testing.assert_array_equal(mine["input_ids"][0],
+                                  ref["input_ids"][0].numpy())
+    np.testing.assert_array_equal(mine["labels"][0],
+                                  ref["labels"][0].numpy())
+    lab = mine["labels"][0]
+    assert (lab == -100).any()
+    if expect_supervised:
+        assert (lab != -100).any()
+
+
+def test_llama2_masking_parity():
+    _parity_case("llava_llama_2", "preprocess_llama_2", CONV)
+
+
+def test_llama2_masking_parity_multiturn():
+    _parity_case("llava_llama_2", "preprocess_llama_2", MULTI_TURN)
+
+
+def test_mpt_masking_parity():
+    # The reference's mpt round arithmetic never counts the conversation's
+    # final <|im_end|> (re_rounds drop it, nothing compensates), so cur_len
+    # always lands at total_len-1 and the mask-all mismatch fallback fires
+    # on well-formed samples (reference preprocess.py:440-474). We reproduce
+    # that behavior exactly — parity asserted token for token.
+    _parity_case("mpt", "preprocess_mpt", CONV, add_bos=False,
+                 expect_supervised=False)
+
+
+def test_mpt_masking_parity_multiturn():
+    # legacy=True + tokenizers>=0.14 also exercises the +1 offset branch.
+    _parity_case("mpt", "preprocess_mpt", MULTI_TURN, legacy=False,
+                 add_bos=False, expect_supervised=False)
+    _parity_case("mpt", "preprocess_mpt", MULTI_TURN, legacy=True,
+                 expect_supervised=False, add_bos=False)
 
 
 def test_plain_template():

@@ -3,7 +3,12 @@
 Parity with llava/train/preprocess.py: `preprocess_multimodal` expands
 <video> into the slow-fast <image> layout (:82-126), and per-template
 tokenizers mask human turns with IGNORE_INDEX (`preprocess_llama3` :213-300,
-`preprocess_v1` :303-388, `preprocess_plain` :482-509). numpy arrays out."""
+`preprocess_v1` :303-388, `preprocess_llama_2` :129-210, `preprocess_mpt`
+:391-479, `preprocess_plain` :482-509). numpy arrays out.
+
+Note: the reference's mpt round arithmetic never counts the final
+<|im_end|>, so its mismatch fallback (mask everything) fires on well-formed
+samples; we reproduce that behavior exactly (see tests/test_preprocess.py)."""
 
 from __future__ import annotations
 
@@ -170,6 +175,93 @@ def preprocess_v1(sources, tokenizer, has_image: bool = False,
     return {"input_ids": input_ids, "labels": targets}
 
 
+try:  # reference gates a masking offset on the tokenizers>=0.14 behavior
+    import tokenizers as _tokenizers
+
+    TOKENIZERS_GTE_0_14 = tuple(
+        int(x) for x in _tokenizers.__version__.split(".")[:2]) >= (0, 14)
+except Exception:  # pragma: no cover - tokenizers always present with HF
+    TOKENIZERS_GTE_0_14 = True
+
+
+def preprocess_llama_2(sources, tokenizer, has_image: bool = False,
+                       conv=None) -> Dict:
+    """Llama-2 [INST] template masking (reference preprocess.py:129-210)."""
+    conv = conv or conversation_lib.conv_templates["llava_llama_2"]
+    conversations = _build_conversations(sources, conv)
+    input_ids = [np.asarray(_tokenize(c, tokenizer, has_image), np.int64)
+                 for c in conversations]
+    targets = [ids.copy() for ids in input_ids]
+    assert conv.sep_style == conversation_lib.SeparatorStyle.LLAMA_2
+
+    sep = "[/INST] "
+    for conversation, target in zip(conversations, targets):
+        total_len = int(np.sum(target != tokenizer.pad_token_id))
+        rounds = conversation.split(conv.sep2)
+        cur_len = 1
+        target[:cur_len] = IGNORE_INDEX
+        for rou in rounds:
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(_tokenize(rou, tokenizer, has_image))
+            instruction_len = len(_tokenize(parts[0], tokenizer,
+                                            has_image)) - 2
+            target[cur_len: cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < tokenizer.model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+            print(f"WARNING: tokenization mismatch: {cur_len} vs. "
+                  f"{total_len}. (ignored)")
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_mpt(sources, tokenizer, has_image: bool = False,
+                   conv=None) -> Dict:
+    """MPT <|im_end|> template masking (reference preprocess.py:391-479)."""
+    conv = conv or conversation_lib.conv_templates["mpt"]
+    conversations = _build_conversations(sources, conv)
+    input_ids = [np.asarray(_tokenize(c, tokenizer, has_image), np.int64)
+                 for c in conversations]
+    targets = [ids.copy() for ids in input_ids]
+    assert conv.sep_style == conversation_lib.SeparatorStyle.MPT
+
+    sep = conv.sep + conv.roles[1]
+    for conversation, target in zip(conversations, targets):
+        total_len = int(np.sum(target != tokenizer.pad_token_id))
+        rounds = conversation.split(conv.sep)
+        re_rounds = [conv.sep.join(rounds[:3])]  # system + user + gpt
+        for idx in range(3, len(rounds), 2):
+            re_rounds.append(conv.sep.join(rounds[idx:idx + 2]))
+        cur_len = 0
+        for i, rou in enumerate(re_rounds):
+            if rou == "":
+                break
+            parts = rou.split(sep)
+            if len(parts) != 2:
+                break
+            parts[0] += sep
+            round_len = len(_tokenize(rou, tokenizer, has_image))
+            instruction_len = len(_tokenize(parts[0], tokenizer,
+                                            has_image)) - 1
+            if (i != 0 and getattr(tokenizer, "legacy", False)
+                    and TOKENIZERS_GTE_0_14):
+                round_len += 1
+                instruction_len += 1
+            target[cur_len: cur_len + instruction_len] = IGNORE_INDEX
+            cur_len += round_len
+        target[cur_len:] = IGNORE_INDEX
+        if cur_len < tokenizer.model_max_length and cur_len != total_len:
+            target[:] = IGNORE_INDEX
+            print(f"WARNING: tokenization mismatch: {cur_len} vs. "
+                  f"{total_len}. (ignored)")
+    return {"input_ids": input_ids, "labels": targets}
+
+
 def preprocess_plain(sources, tokenizer, conv=None) -> Dict:
     conv = conv or conversation_lib.conv_templates["plain"]
     conversations = []
@@ -197,10 +289,16 @@ def preprocess_plain(sources, tokenizer, conv=None) -> Dict:
 def preprocess(sources, tokenizer, has_image: bool = False,
                template: str = "llava_llama_3") -> Dict:
     conv = conversation_lib.conv_templates[template]
+    # Dispatch order mirrors reference preprocess.py:512-533:
+    # PLAIN -> LLAMA_2 -> v1 -> mpt -> llama3.
     if conv.sep_style == conversation_lib.SeparatorStyle.PLAIN:
         return preprocess_plain(sources, tokenizer, conv)
-    if conv.version == "llama3":
-        return preprocess_llama3(sources, tokenizer, has_image, conv)
+    if conv.sep_style == conversation_lib.SeparatorStyle.LLAMA_2:
+        return preprocess_llama_2(sources, tokenizer, has_image, conv)
     if conv.version.startswith("v1"):
         return preprocess_v1(sources, tokenizer, has_image, conv)
+    if conv.version == "mpt":
+        return preprocess_mpt(sources, tokenizer, has_image, conv)
+    if conv.version == "llama3":
+        return preprocess_llama3(sources, tokenizer, has_image, conv)
     raise NotImplementedError(f"template {template} not supported")
