@@ -111,7 +111,7 @@ def bench_vision(n_clips=4):
         # peak (197 spec / 169 measured in-graph), so the north star is
         # compute-infeasible for CLIP-L/336 dense bf16 on one v5e; the
         # per-chip ceiling is ~460 f/s at 100% MFU. See BENCH_NOTES.md.
-        "chip_bf16_ceiling_frames_s": round(169e12 / flops_frame, 0),
+        "chip_bf16_ceiling_frames_s": round(peak_tf * 1e12 / flops_frame, 0),
     }
 
 
@@ -136,7 +136,8 @@ def bench_sam2_image():
         im = img.copy()
         im[0, 0, 0] = salt % 255       # defeat any result caching
         t0 = time.time()
-        pred.set_image(im)             # async dispatch (incl. image push)
+        pred.set_image(im)             # dispatch (incl. image push)
+        jax.block_until_ready(pred._features)  # so the split is meaningful
         t_set = time.time() - t0
         t0 = time.time()
         masks, ious, _ = pred.predict(box=box)

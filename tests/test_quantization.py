@@ -57,6 +57,44 @@ def test_quantize_tree_targets_and_memory():
     assert float(jnp.abs(pf - pq_).max()) < 0.15
 
 
+def test_init_quantized_matches_quantize_after_init():
+    """Direct int8 init (one layer at a time, for models whose bf16 form
+    exceeds HBM) must equal quantize_tree(init(...)) with the same key."""
+    from video_llava_seg_tpu.config import LlamaConfig
+    from video_llava_seg_tpu.models import llama
+
+    cfg = LlamaConfig.tiny()
+    key = jax.random.PRNGKey(7)
+    want = quantize_tree(llama.init(key, cfg, dtype=jnp.bfloat16), 8,
+                         min_size=1024)
+    got = llama.init_quantized(key, cfg, bits=8, min_size=1024)
+    assert "kernel_q" in got["layers"][0]["attn"]["wq"]
+    # same tree structure, shapes and dtypes
+    assert (jax.tree_util.tree_structure(want)
+            == jax.tree_util.tree_structure(got))
+    for a, b in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # dequantized values agree up to bf16-ulp init noise (the jitted
+    # per-layer init and the eager init differ by libm ulps in
+    # truncated_normal's erfinv; bit-exactness is not a property we need)
+    wq_w = want["layers"][0]["attn"]["wq"]
+    wq_g = got["layers"][0]["attn"]["wq"]
+    deq_w = np.asarray(wq_w["kernel_q"], np.float32) * np.asarray(
+        wq_w["kernel_scale"])
+    deq_g = np.asarray(wq_g["kernel_q"], np.float32) * np.asarray(
+        wq_g["kernel_scale"])
+    atol = 4.0 * float(np.asarray(wq_w["kernel_scale"]).max())
+    np.testing.assert_allclose(deq_w, deq_g, atol=atol)
+    # and the quantized tree decodes greedily without error
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 5, cfg.hidden_size),
+                          jnp.bfloat16)
+    toks, hidden, n = llama.greedy_generate(got, cfg, x, prompt_len=5,
+                                            max_new_tokens=4,
+                                            eos_token_ids=(999,))
+    assert toks.shape == (1, 4) and int(n) <= 4
+
+
 def test_int4_range():
     k = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
     q, scale = quantize_kernel(k, 4)

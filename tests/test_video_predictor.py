@@ -175,28 +175,64 @@ def test_scan_path_matches_per_frame(predictors, video_dir):
     masked identically)."""
     _, mine = predictors
 
-    def run(use_scan, reverse=False, start=None):
-        state = mine.init_state(video_dir)
-        sf = 0 if start is None else start
-        mine.add_new_points_or_box(state, sf, 1,
-                                   points=np.array([[40.0, 60.0]]),
-                                   labels=np.array([1]))
-        mine.use_scan_propagation = use_scan
-        try:
-            outs = {f: np.asarray(m) for f, _ids, m in
-                    mine.propagate_in_video(state, start_frame_idx=start,
-                                            reverse=reverse)}
-        finally:
-            mine.use_scan_propagation = True
-        return outs
-
     for reverse, start in ((False, None), (True, 3)):
-        scan = run(True, reverse, start)
-        loop = run(False, reverse, start)
+        scan = _run_propagation(mine, video_dir, True, reverse, start)
+        loop = _run_propagation(mine, video_dir, False, reverse, start)
         assert set(scan) == set(loop)
         for f in scan:
             np.testing.assert_allclose(scan[f], loop[f], atol=2e-2,
                                        rtol=1e-3, err_msg=f"frame {f}")
+
+
+def _run_propagation(pred, video_dir, use_scan, reverse=False, start=None):
+    state = pred.init_state(video_dir)
+    sf = 0 if start is None else start
+    pred.add_new_points_or_box(state, sf, 1,
+                               points=np.array([[40.0, 60.0]]),
+                               labels=np.array([1]))
+    prev = pred.use_scan_propagation
+    pred.use_scan_propagation = use_scan
+    try:
+        return {f: np.asarray(m) for f, _ids, m in
+                pred.propagate_in_video(state, start_frame_idx=start,
+                                        reverse=reverse)}
+    finally:
+        pred.use_scan_propagation = prev
+
+
+def test_scan_chunk_boundary_parity(predictors, video_dir):
+    """Multi-chunk scan continuation: with scan_chunk < clip length the ring
+    carry crosses _scan_jit calls and scan_start masking spans chunk
+    boundaries — must still match the per-frame path exactly."""
+    _, mine = predictors
+    prev_chunk = mine.scan_chunk
+    try:
+        mine.scan_chunk = 3  # 6-frame clip -> 2 scan chunks
+        scan = _run_propagation(mine, video_dir, True)
+        loop = _run_propagation(mine, video_dir, False)
+    finally:
+        mine.scan_chunk = prev_chunk
+    assert set(scan) == set(loop) == set(range(NUM_FRAMES))
+    for f in scan:
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2,
+                                   rtol=1e-3, err_msg=f"frame {f}")
+
+
+def test_scan_stride_gt1_parity(predictors, video_dir):
+    """memory_temporal_stride_for_eval > 1 exercises the strided slot
+    arithmetic in both the scan and per-frame memory-bank selection."""
+    import dataclasses
+
+    _, mine = predictors
+    cfg2 = dataclasses.replace(TINY, memory_temporal_stride_for_eval=2)
+    pred2 = SAM2VideoPredictor(mine.params, cfg2)
+    pred2.scan_chunk = 3  # also cross a chunk boundary under stride 2
+    scan = _run_propagation(pred2, video_dir, True)
+    loop = _run_propagation(pred2, video_dir, False)
+    assert set(scan) == set(loop) == set(range(NUM_FRAMES))
+    for f in scan:
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2,
+                                   rtol=1e-3, err_msg=f"frame {f}")
 
 
 def test_scan_falls_back_after_interaction(predictors, video_dir):

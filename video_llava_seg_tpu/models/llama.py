@@ -24,46 +24,84 @@ from video_llava_seg_tpu.ops.attention import attention, attention_reference
 from video_llava_seg_tpu.ops.rope import apply_rope_1d, rope_1d_cos_sin
 
 
-def init(key, cfg: LlamaConfig, dtype=jnp.float32):
-    keys = jax.random.split(key, cfg.num_layers + 3)
+def _norm_init(cfg: LlamaConfig, dtype):
+    return (nn.layer_norm_init(cfg.hidden_size, dtype)
+            if cfg.norm_type == "layernorm"
+            else nn.rms_norm_init(cfg.hidden_size, dtype))
+
+
+def init_layer(key, cfg: LlamaConfig, dtype=jnp.float32):
+    """One decoder block's params (attn + mlp + norms)."""
     d = cfg.hidden_size
     kv_dim = cfg.num_kv_heads * cfg.head_dim
     q_dim = cfg.num_heads * cfg.head_dim
+    k = jax.random.split(key, 7)
+    mlp = {
+        "w_up": nn.dense_init(k[5], d, cfg.intermediate_size,
+                              bias=False, dtype=dtype),
+        "w_down": nn.dense_init(k[6], cfg.intermediate_size, d,
+                                bias=False, dtype=dtype),
+    }
+    if cfg.mlp_type == "swiglu":
+        mlp["w_gate"] = nn.dense_init(k[4], d, cfg.intermediate_size,
+                                      bias=False, dtype=dtype)
+    return {
+        "input_layernorm": _norm_init(cfg, dtype),
+        "attn": {
+            "wq": nn.dense_init(k[0], d, q_dim, bias=False, dtype=dtype),
+            "wk": nn.dense_init(k[1], d, kv_dim, bias=False, dtype=dtype),
+            "wv": nn.dense_init(k[2], d, kv_dim, bias=False, dtype=dtype),
+            "wo": nn.dense_init(k[3], q_dim, d, bias=False, dtype=dtype),
+        },
+        "post_attention_layernorm": _norm_init(cfg, dtype),
+        "mlp": mlp,
+    }
+
+
+def init(key, cfg: LlamaConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    d = cfg.hidden_size
     p = {
         "embed_tokens": nn.embedding_init(keys[0], cfg.vocab_size, d, dtype),
-        "layers": [],
-        "norm": nn.rms_norm_init(d, dtype),
+        "layers": [init_layer(keys[i + 2], cfg, dtype)
+                   for i in range(cfg.num_layers)],
+        "norm": _norm_init(cfg, dtype),
     }
-    def norm_init():
-        return (nn.layer_norm_init(d, dtype) if cfg.norm_type == "layernorm"
-                else nn.rms_norm_init(d, dtype))
-
-    for i in range(cfg.num_layers):
-        k = jax.random.split(keys[i + 2], 7)
-        mlp = {
-            "w_up": nn.dense_init(k[5], d, cfg.intermediate_size,
-                                  bias=False, dtype=dtype),
-            "w_down": nn.dense_init(k[6], cfg.intermediate_size, d,
-                                    bias=False, dtype=dtype),
-        }
-        if cfg.mlp_type == "swiglu":
-            mlp["w_gate"] = nn.dense_init(k[4], d, cfg.intermediate_size,
-                                          bias=False, dtype=dtype)
-        p["layers"].append({
-            "input_layernorm": norm_init(),
-            "attn": {
-                "wq": nn.dense_init(k[0], d, q_dim, bias=False, dtype=dtype),
-                "wk": nn.dense_init(k[1], d, kv_dim, bias=False, dtype=dtype),
-                "wv": nn.dense_init(k[2], d, kv_dim, bias=False, dtype=dtype),
-                "wo": nn.dense_init(k[3], q_dim, d, bias=False, dtype=dtype),
-            },
-            "post_attention_layernorm": norm_init(),
-            "mlp": mlp,
-        })
-    p["norm"] = norm_init()
     if not cfg.tie_word_embeddings:
         p["lm_head"] = nn.dense_init(keys[1], d, cfg.vocab_size, bias=False,
                                      dtype=dtype)
+    return p
+
+
+def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
+                   dtype=jnp.bfloat16, min_size: int = 1 << 16):
+    """Initialize directly into weight-only-quantized form, one jitted
+    layer at a time, so peak HBM is the int8 tree plus ONE bf16 layer.
+
+    An 8B-param model is ~16 GB in bf16 — it does not fit a 16 GB v5e —
+    but ~8 GB as int8 weights + fp32 per-channel scales (embeddings stay
+    bf16). This is what lets the flagship configs run at FULL depth on one
+    chip instead of extrapolating from a layer slice (reference serving
+    equivalent: --load_8bit, llava/model/builder.py:47-66)."""
+    from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    d = cfg.hidden_size
+
+    layer_q = jax.jit(
+        lambda k: quantize_tree(init_layer(k, cfg, dtype), bits=bits,
+                                min_size=min_size))
+    p = {
+        "embed_tokens": nn.embedding_init(keys[0], cfg.vocab_size, d, dtype),
+        "layers": [jax.block_until_ready(layer_q(keys[i + 2]))
+                   for i in range(cfg.num_layers)],
+        "norm": _norm_init(cfg, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        head_q = jax.jit(lambda k: quantize_tree(
+            nn.dense_init(k, d, cfg.vocab_size, bias=False, dtype=dtype),
+            bits=bits, min_size=min_size))
+        p["lm_head"] = jax.block_until_ready(head_q(keys[1]))
     return p
 
 
