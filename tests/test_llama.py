@@ -138,6 +138,48 @@ def test_batched_generate_per_sample_eos(params):
     np.testing.assert_array_equal(row1[:k], row1_free[:k])
 
 
+def test_stop_sequence_halts_decode(params):
+    """In-graph KeywordsStoppingCriteria parity (mm_utils.py:215-247): once
+    the trailing emitted tokens match a stop sequence, decoding halts early
+    instead of burning the full max_new_tokens budget. The keyword tokens
+    stay in the output (callers trim, as the reference does)."""
+    ids = jnp.asarray([[5, 6, 7]])
+    embeds = llama.embed(params, ids)
+    free, _, n_free = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=3, max_new_tokens=8,
+        eos_token_ids=(99999,))
+    assert int(n_free) == 8
+    row = [int(t) for t in np.asarray(free[0])]
+
+    # single-token stop at position 2
+    toks, _, n = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=3, max_new_tokens=8,
+        eos_token_ids=(99999,), stop_sequences=((row[2],),))
+    first = row.index(row[2])
+    assert int(n) == first + 1
+    np.testing.assert_array_equal(np.asarray(toks)[0, :int(n)],
+                                  row[:int(n)])
+
+    # two-token stop covering positions 1-2 (or its earliest occurrence —
+    # toy greedy rows can repeat tokens)
+    pair = (row[1], row[2])
+    toks2, _, n2 = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=3, max_new_tokens=8,
+        eos_token_ids=(99999,), stop_sequences=(pair,))
+    first2 = next(j for j in range(1, 8)
+                  if (row[j - 1], row[j]) == pair)
+    assert int(n2) == first2 + 1
+    np.testing.assert_array_equal(np.asarray(toks2)[0, :int(n2)],
+                                  row[:int(n2)])
+
+    # a never-matching sequence must not stop anything
+    toks3, _, n3 = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=3, max_new_tokens=8,
+        eos_token_ids=(99999,), stop_sequences=((123, 124, 125),))
+    assert int(n3) == 8
+    np.testing.assert_array_equal(np.asarray(toks3), np.asarray(free))
+
+
 def test_mistral_sliding_window_masks_old_keys():
     """Sliding-window attention (llava_mistral.py wrapper parity): scores
     for keys older than `window` are masked; prefill+decode agrees with the

@@ -152,10 +152,26 @@ def build_prompt(cfg: VideoLlavaConfig, qs: str, conv_template_name: str,
     return conv.get_prompt()
 
 
+def keyword_stop_sequences(tokenizer, conv_template_name: str):
+    """Tokenized stop-string sequences for the template, for the in-graph
+    streaming stop (reference KeywordsStoppingCriteria, mm_utils.py:215-247:
+    generation halts once the stop string's token ids are emitted)."""
+    conv = conversation_lib.conv_templates[conv_template_name]
+    stop_str = (conv.sep2 if conv.sep_style
+                == conversation_lib.SeparatorStyle.TWO else conv.sep)
+    if not stop_str:
+        return ()
+    ids = list(tokenizer(stop_str).input_ids)
+    bos = getattr(tokenizer, "bos_token_id", None)
+    if bos is not None and ids and ids[0] == bos:
+        ids = ids[1:]
+    return (tuple(ids),) if ids else ()
+
+
 def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
                      qs: str, conv_template_name: str, max_new_tokens: int,
                      seg_frames=None, seg_meta=None,
-                     eos_token_ids=()):
+                     eos_token_ids=(), stop_sequences=()):
     prompt = build_prompt(cfg, qs, conv_template_name)
     frames = video_io.load_video_uniform(video_bytes, cfg.num_frames)
     from video_llava_seg_tpu.data.vicas import (
@@ -170,7 +186,8 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
 
     tokens, hidden, n = llava.generate(params, cfg, input_ids, video,
                                        max_new_tokens=max_new_tokens,
-                                       eos_token_ids=tuple(eos_token_ids))
+                                       eos_token_ids=tuple(eos_token_ids),
+                                       stop_sequences=tuple(stop_sequences))
     n = int(n)
     out_ids = np.asarray(tokens)[0, :n]
     text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
@@ -225,6 +242,10 @@ def run_inference(args, model=None):
             pass
 
     conv_template_name = args.conv_template
+    try:
+        stop_seqs = keyword_stop_sequences(tokenizer, conv_template_name)
+    except Exception:
+        stop_seqs = ()
     for json_path in gt_json_list:
         with open(json_path) as fh:
             content = json.load(fh)
@@ -258,7 +279,8 @@ def run_inference(args, model=None):
                 kwargs = {"seg_frames": seg_frames, "seg_meta": seg_meta}
             text, logits = get_model_output(
                 params, cfg, tokenizer, video_bytes, qs, conv_template_name,
-                args.max_new_tokens, eos_token_ids=eos_ids, **kwargs)
+                args.max_new_tokens, eos_token_ids=eos_ids,
+                stop_sequences=stop_seqs, **kwargs)
             if idx == -1:
                 pred["pred_caption"] = text
                 if args.print_captions:

@@ -199,12 +199,23 @@ def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
     (HF --gradient_checkpointing equivalent, stage3_with_seg.sh:65).
 
     Returns (logits fp32 [B, S, V], hidden_states post-norm [B, S, D])."""
+    from video_llava_seg_tpu.parallel.mesh import (
+        maybe_constrain,
+        maybe_constrain_grad,
+    )
+
     x = inputs_embeds
     if position_ids.ndim == 1:
         position_ids = position_ids[None]
     cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    # rope tables are tiny and batch-1: pin them replicated, or SPMD
+    # propagates an 8-way sharding onto their size-1 dim and involuntarily
+    # rematerializes the softmax internals in the remat backward (8x1 mesh)
+    cos = maybe_constrain(cos)
+    sin = maybe_constrain(sin)
 
     def block(layer, x, cos, sin, attn_mask):
+        x = maybe_constrain_grad(x, "data")
         h = _norm(layer["input_layernorm"], cfg, x)
         a, _ = _attn_block(layer, cfg, h, cos, sin, causal=True,
                            kv_mask=attn_mask, interpret=interpret)
@@ -276,11 +287,19 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
 
 def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
                     max_new_tokens: int, eos_token_ids: Tuple[int, ...],
+                    stop_sequences: Tuple[Tuple[int, ...], ...] = (),
                     interpret: bool = False):
     """Greedy decode under jit: prefill + while_loop decode.
 
     inputs_embeds: [B, S, D] (B=1 supported path, matching the reference's
     batch-1 inference assert at llava_llama.py:313).
+
+    stop_sequences: static tuples of token ids; a row stops once its
+    trailing emitted tokens match any sequence — the in-graph equivalent of
+    the reference's KeywordsStoppingCriteria (mm_utils.py:215-247), which
+    halts HF generate when a stop string is emitted. The matched keyword
+    tokens remain in the output (same as the reference; callers trim with
+    mm_utils.trim_at_keywords).
 
     Returns (tokens [B, max_new_tokens] int32 — padded with eos after stop,
     hidden [B, max_new_tokens, D] — post-norm hidden state of each emitted
@@ -320,6 +339,15 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
         # per-sample stop: a row is done once IT has emitted an eos — other
         # rows keep decoding (the loop exits when all rows are done)
         done = jnp.logical_or(done, jnp.isin(tok, eos))
+        # streaming keyword stop: trailing emitted tokens match a stop seq
+        for seq in stop_sequences:
+            ln = len(seq)
+            if ln == 0 or ln > max_new_tokens:
+                continue
+            start = jnp.maximum(i - (ln - 1), 0)
+            tail = jax.lax.dynamic_slice(tokens, (0, start), (b, ln))
+            hit = jnp.all(tail == jnp.asarray(seq, jnp.int32), axis=1)
+            done = jnp.logical_or(done, jnp.logical_and(i + 1 >= ln, hit))
         return i + 1, nxt, done, tokens, hiddens, cache
 
     # hiddens[0] = prefill's last-position hidden (it produced first_tok)

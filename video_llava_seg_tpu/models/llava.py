@@ -216,6 +216,7 @@ def forward(params, cfg: VideoLlavaConfig, video, plan: Dict,
 def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
              max_new_tokens: int = 256,
              eos_token_ids: Tuple[int, ...] = (),
+             stop_sequences: Tuple[Tuple[int, ...], ...] = (),
              interpret: bool = False):
     """Greedy caption generation (batch 1, matching llava_llama.py:313).
 
@@ -233,7 +234,7 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
     tokens, hidden, n = llama.greedy_generate(
         params["llm"], cfg.llm, embeds, prompt_len=embeds.shape[1],
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
-        interpret=interpret)
+        stop_sequences=stop_sequences, interpret=interpret)
     return tokens, hidden, n
 
 

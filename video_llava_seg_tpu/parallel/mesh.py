@@ -51,6 +51,29 @@ def with_sharding(x, mesh: Mesh, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+def maybe_constrain_grad(x, *spec):
+    """Like maybe_constrain, but ALSO pins the cotangent's sharding on the
+    backward pass. A plain with_sharding_constraint only fixes the primal;
+    SPMD can still pick a hostile sharding for the cotangent of an adjacent
+    reshape and fall back to an involuntary full rematerialization
+    (spmd_partitioner.cc warning seen in the 4x2 train-step dryrun on the
+    seg-head reshape's transpose(jvp))."""
+    import functools
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+    def f(y, s):
+        return maybe_constrain(y, *s)
+
+    def f_fwd(y, s):
+        return maybe_constrain(y, *s), None
+
+    def f_bwd(s, _, g):
+        return (maybe_constrain(g, *s),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, spec)
+
+
 def maybe_constrain(x, *spec):
     """Sharding constraint against the AMBIENT mesh (the `with mesh:`
     context), or a no-op when tracing without one (single-chip jit, CPU
@@ -94,20 +117,32 @@ def _partition_spec_for(path: str, shape: Sequence[int], mesh: Mesh,
         return 0 <= dim_idx < ndim and shape[dim_idx] % size == 0
 
     if mp > 1 and ndim >= 2:
+        parts = path.split("/")
         col_markers = ("wq", "wk", "wv", "w_gate", "w_up", "q_proj", "k_proj",
                        "v_proj", "gate_proj", "up_proj")
         row_markers = ("wo", "w_down", "o_proj", "down_proj")
+        # exact component match: "patch_embedding" must NOT hit the vocab
+        # rule (sharding a conv kernel's height over 'model' gave SPMD an
+        # involuntary full remat on its weight grad in the 4x2 dryrun)
         vocab_markers = ("embed_tokens", "lm_head", "embedding")
         if any(m in path for m in col_markers) and divisible(ndim - 1, mp):
             spec[ndim - 1] = model_ax
         elif any(m in path for m in row_markers) and divisible(ndim - 2, mp):
             spec[ndim - 2] = model_ax
-        elif any(m in path for m in vocab_markers) and divisible(0, mp):
+        elif (ndim == 2 and any(m in parts for m in vocab_markers)
+                and divisible(0, mp)):
             spec[0] = model_ax
 
     if fsdp:
         dp = mesh.shape[data_ax]
-        if dp > 1:
+        size = 1
+        for s in shape:
+            size *= s
+        # Conv kernels and other small >2-D tensors stay replicated: their
+        # ZeRO saving is negligible, and sharding them makes the conv
+        # weight-grad's cotangent reshard pathological (SPMD involuntary
+        # full remat on the patch-embed wgrad, seen in the 4x2 dryrun).
+        if dp > 1 and (ndim <= 2 or size >= (1 << 22)):
             # shard the largest still-unsharded dim over data
             order = sorted(range(ndim), key=lambda i: -shape[i])
             for i in order:

@@ -61,18 +61,21 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
 
         # one flat [B*Ts] Hiera dispatch + one batched mask decode (compile
         # time and dispatch count stay constant in per_device_batch_size)
-        from video_llava_seg_tpu.parallel.mesh import maybe_constrain
+        from video_llava_seg_tpu.parallel.mesh import maybe_constrain_grad
 
         frames_flat = batch["seg_frames"].reshape(
             b * ts, *batch["seg_frames"].shape[2:])
         feats, high_res = seg_head_mod.encode_video_frames(
             params["seg_head"], sam2_cfg, frames_flat, interpret)
         # keep seg-head activations sharded along 'data' across the reshape
-        # (without the constraint SPMD falls back to a full involuntary
-        # rematerialization here — seen in the 4x2 dryrun)
-        feats = maybe_constrain(
+        # in BOTH directions: without the primal constraint SPMD does a full
+        # involuntary rematerialization on the forward, and without the
+        # cotangent constraint it does the same on transpose(jvp()) — both
+        # seen in the 4x2 dryrun tails (r1 fwd, r2 bwd)
+        feats = maybe_constrain_grad(
             feats.reshape(b, ts, *feats.shape[1:]), "data")
-        high_res = [maybe_constrain(h.reshape(b, ts, *h.shape[1:]), "data")
+        high_res = [maybe_constrain_grad(h.reshape(b, ts, *h.shape[1:]),
+                                         "data")
                     for h in high_res]
         pos = jnp.clip(batch["seg_token_pos"], 0, None)     # [B, N]
         seg_tokens = jnp.take_along_axis(hidden, pos[..., None],
@@ -80,7 +83,7 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
         low = seg_head_mod.decode_masks_batched(
             params["seg_head"], cfg.seg, sam2_cfg, feats, high_res,
             seg_tokens, interpret)                  # [B, N, Ts, s/4, s/4]
-        low = maybe_constrain(low, "data")
+        low = maybe_constrain_grad(low, "data")
         # reference computes the loss at the model-res UNPADDED size
         # (forward_seg_head_train uses resize_to_original_dims=False);
         # static-shape equivalent: upsample to padded img_sz and mask
