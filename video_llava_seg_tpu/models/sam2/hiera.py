@@ -20,8 +20,13 @@ from video_llava_seg_tpu.models.sam2.config import HieraConfig
 from video_llava_seg_tpu.ops import nn
 from video_llava_seg_tpu.ops.attention import attention
 from video_llava_seg_tpu.ops.resize import interpolate
+from video_llava_seg_tpu.ops.window_attention import window_attention
 
 _LN_EPS = 1e-6  # hieradet norm_layer = partial(LayerNorm, eps=1e-6)
+
+# A/B switch for the fused window-attention path (benchmarks flip this to
+# measure in context; the fused path is numerically equivalent)
+USE_FUSED_WINDOW_ATTN = True
 
 
 def window_partition(x, ws: int):
@@ -129,6 +134,19 @@ def _get_pos_embed(params, hw: Tuple[int, int]):
     return bkg + tiled
 
 
+def _attention_fused_windows(blk, x, num_heads: int, ws: int,
+                             interpret: bool = False):
+    """Non-pooling windowed block attention without ever materializing the
+    partitioned layout: qkv dense on the map, fused window SDPA (Pallas),
+    out proj on the map. Replaces partition->SDPA->unpartition
+    (hieradet.py:84-166 + backbones/utils.py:16-62) on the hot stage-1/2
+    maps."""
+    qkv = nn.dense(blk["qkv"], x)                  # [B, H, W, 3*dout]
+    o = window_attention(qkv, num_heads=num_heads, ws=ws,
+                         interpret=interpret)
+    return nn.dense(blk["proj_attn"], o)
+
+
 def _attention(blk, x, num_heads: int, q_stride, interpret: bool = False):
     """MultiScaleAttention: qkv -> optional q max-pool -> SDPA -> proj."""
     b, h, w, _ = x.shape
@@ -180,24 +198,30 @@ def apply(params, cfg: HieraConfig, x, interpret: bool = False) -> List:
                 shortcut = _max_pool_2x2(shortcut, q_stride)
 
         h, w = xn.shape[1], xn.shape[2]
-        win = ws
-        if win > 0:
-            xw, pad_hw = window_partition(xn, win)
+        if (USE_FUSED_WINDOW_ATTN and ws > 0 and q_stride is None
+                and h % ws == 0 and w % ws == 0):
+            # hot path (all of stages 1-2 at SAM2's 1024 input): fused
+            # partition+SDPA+unpartition, no 6-D relayouts
+            xw = _attention_fused_windows(blk, xn, heads, ws, interpret)
         else:
-            xw, pad_hw = xn, (h, w)
-
-        xw = _attention(blk, xw, heads, q_stride, interpret)
-
-        if q_stride is not None:
-            win = win // cfg.q_stride[0] if win > 0 else 0
-            h, w = shortcut.shape[1], shortcut.shape[2]
+            win = ws
             if win > 0:
-                pad_h = (win - h % win) % win
-                pad_w = (win - w % win) % win
-                pad_hw = (h + pad_h, w + pad_w)
+                xw, pad_hw = window_partition(xn, win)
+            else:
+                xw, pad_hw = xn, (h, w)
 
-        if ws > 0:
-            xw = window_unpartition(xw, win, pad_hw, (h, w))
+            xw = _attention(blk, xw, heads, q_stride, interpret)
+
+            if q_stride is not None:
+                win = win // cfg.q_stride[0] if win > 0 else 0
+                h, w = shortcut.shape[1], shortcut.shape[2]
+                if win > 0:
+                    pad_h = (win - h % win) % win
+                    pad_w = (win - w % win) % win
+                    pad_hw = (h + pad_h, w + pad_w)
+
+            if ws > 0:
+                xw = window_unpartition(xw, win, pad_hw, (h, w))
         x = shortcut + xw
         x = x + nn.mlp_apply(blk["mlp"], nn.layer_norm(blk["norm2"], x,
                                                        _LN_EPS), act=nn.gelu)
