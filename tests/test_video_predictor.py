@@ -235,20 +235,67 @@ def test_scan_stride_gt1_parity(predictors, video_dir):
                                    rtol=1e-3, err_msg=f"frame {f}")
 
 
-def test_scan_falls_back_after_interaction(predictors, video_dir):
-    """Mid-video corrections make the history non-contiguous; the scan gate
-    must reject it and the per-frame path must still produce all frames."""
+def test_scan_covers_interaction(predictors, video_dir):
+    """The interactive VOS workflow — propagate, correct mid-video,
+    re-propagate — must run on the scan path (gaps at cond frames,
+    rings seeded from the first pass) and match the per-frame path."""
     _, mine = predictors
-    state = mine.init_state(video_dir)
-    mine.add_new_points_or_box(state, 0, 1, points=np.array([[40.0, 60.0]]),
-                               labels=np.array([1]))
-    list(mine.propagate_in_video(state))  # first pass (scan)
-    # correction on frame 3 -> cond frame inside the range
-    mine.add_new_points_or_box(state, 3, 1, points=np.array([[44.0, 62.0]]),
-                               labels=np.array([1]))
-    outs = list(mine.propagate_in_video(state))
-    assert [o[0] for o in outs] == list(range(NUM_FRAMES))
-    assert all(np.isfinite(np.asarray(o[2])).all() for o in outs)
+
+    def run(use_scan):
+        prev = mine.use_scan_propagation
+        mine.use_scan_propagation = use_scan
+        try:
+            state = mine.init_state(video_dir)
+            mine.add_new_points_or_box(state, 0, 1,
+                                       points=np.array([[40.0, 60.0]]),
+                                       labels=np.array([1]))
+            list(mine.propagate_in_video(state))           # first pass
+            # correction on frame 3 -> cond frame inside the range
+            mine.add_new_points_or_box(state, 3, 1,
+                                       points=np.array([[44.0, 62.0]]),
+                                       labels=np.array([1]))
+            outs = list(mine.propagate_in_video(state))    # re-propagate
+        finally:
+            mine.use_scan_propagation = prev
+        assert [o[0] for o in outs] == list(range(NUM_FRAMES))
+        return {f: np.asarray(m) for f, _ids, m in outs}
+
+    scan = run(True)
+    loop = run(False)
+    for f in range(NUM_FRAMES):
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2, rtol=1e-3,
+                                   err_msg=f"frame {f}")
+
+
+def test_scan_covers_restart_from_middle(predictors, video_dir):
+    """Re-propagation from an explicit mid-clip start must attend the
+    FIRST pass's stale non-cond memories behind the start (reference
+    dict-lookup semantics) — exercises ring/availability seeding."""
+    _, mine = predictors
+
+    def run(use_scan):
+        prev = mine.use_scan_propagation
+        mine.use_scan_propagation = use_scan
+        try:
+            state = mine.init_state(video_dir)
+            mine.add_new_points_or_box(state, 0, 1,
+                                       points=np.array([[40.0, 60.0]]),
+                                       labels=np.array([1]))
+            list(mine.propagate_in_video(state))
+            mine.add_new_points_or_box(state, 3, 1,
+                                       points=np.array([[44.0, 62.0]]),
+                                       labels=np.array([1]))
+            outs = list(mine.propagate_in_video(state, start_frame_idx=3))
+        finally:
+            mine.use_scan_propagation = prev
+        return {f: np.asarray(m) for f, _ids, m in outs}
+
+    scan = run(True)
+    loop = run(False)
+    assert set(scan) == set(loop)
+    for f in scan:
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2, rtol=1e-3,
+                                   err_msg=f"frame {f}")
 
 
 def test_predictor_jits_take_params_as_arguments(predictors):

@@ -900,33 +900,39 @@ class SAM2VideoPredictor:
     # whole-clip scan tracking
     # ------------------------------------------------------------------
 
-    def _scan_track_impl(self, params, feats, idxs, scan_start, cond_mem,
+    def _scan_track_impl(self, params, feats, idxs, written0, cond_mem,
                          cond_ptrs, cond_idx, mem_ring, ptr_ring, *,
                          reverse: bool, multimask: bool, hw,
                          max_ptrs: int):
-        """Track a contiguous run of frames as ONE `lax.scan` dispatch.
+        """Track a run of frames as ONE `lax.scan` dispatch.
 
         The reference walks frames in Python, rebuilding a ragged memory
         list per frame (sam2_video_predictor.py:662-745, sam2_base.py:
-        497-674). Here the non-interactive propagation path re-expresses
-        that bookkeeping as index arithmetic inside a scan: spatial
-        memories and object pointers live in fixed-size rings carried
-        through the scan, slot selection is computed from the frame index,
-        and invalid slots are masked inside attention. One compiled
-        program tracks the whole chunk with zero host round trips.
+        497-674). Here propagation re-expresses that bookkeeping as index
+        arithmetic inside a scan: spatial memories and object pointers
+        live in fixed-size rings carried through the scan, slot selection
+        is computed from the frame index, and invalid slots are masked
+        inside attention. One compiled program tracks the whole chunk with
+        zero host round trips.
 
         feats: 3-level tuple, each [T, B, h, w, c] (stacked clip features).
-        idxs: [T] absolute frame indices (consecutive, +1 or -1 steps).
-        scan_start: scalar — first tracked frame of the whole run (ring
-        entries outside [scan_start, current) are masked invalid).
+        idxs: [T] absolute frame indices, monotone ±1 steps but gaps are
+        allowed (cond frames inside the run are skipped — the reference
+        skips consolidated frames the same way).
+        written0: [num_frames] bool — which frames already have a usable
+        non-cond memory in the rings when the scan starts (seeded entries
+        from a previous propagation pass and/or a previous chunk). The
+        scan carries it and marks each tracked frame; a prev-frame lookup
+        is valid iff written[prev] — the in-graph equivalent of the
+        reference's `non_cond_frame_outputs.get(prev) is None` skip
+        (sam2_base.py:564-570).
         cond_mem [B, Sc, HW, mem], cond_ptrs [B, Sc, C], cond_idx [Sc]:
         conditioning-frame memories (constant across the scan).
         mem_ring [R, B, h, w, mem], ptr_ring [P, B, C]: carried rings
-        (pass zeros for a fresh run; pass the previous chunk's rings to
-        continue a chunked clip).
+        (zeros for a fresh run; previous chunk's rings to continue).
 
-        Returns (mem_ring, ptr_ring, low_res [T, B, 1, H4, W4] fp32
-        hole-filled, vidres [T, B, 1, *hw] fp32, obj_ptr [T, B, C],
+        Returns (mem_ring, ptr_ring, written, low_res [T, B, 1, H4, W4]
+        fp32 hole-filled, vidres [T, B, 1, *hw] fp32, obj_ptr [T, B, C],
         scores [T, B, 1] fp32, maskmem [T, B, h, w, mem] bf16)."""
         cfg = self.cfg
         sc = cond_idx.shape[0]
@@ -938,6 +944,7 @@ class SAM2VideoPredictor:
         hgrid = mem_ring.shape[2]
         mem_dim = cfg.mem_dim
         hwgrid = hgrid * mem_ring.shape[3]
+        n_frames = written0.shape[0]
         # slot tpos indices are position-fixed: cond slots at
         # num_maskmem-1, then t_pos 1..num_maskmem-1 -> num_maskmem-2..0
         slot_tpos = jnp.asarray(
@@ -945,15 +952,19 @@ class SAM2VideoPredictor:
             jnp.int32)
         max_ptrs = min(max_ptrs, p_ring)
 
-        def in_range(prev, f):
-            if reverse:
-                return (prev <= scan_start) & (prev >= f + 1)
-            return (prev >= scan_start) & (prev <= f - 1)
-
         def body(carry, x):
-            mem_ring, ptr_ring = carry
+            mem_ring, ptr_ring, written = carry
             f = x[0]
             feats_t = x[1]
+
+            def available(prev):
+                # ring slots stay live for < ring-length frames, so any
+                # queryable prev maps to the right slot; written[] decides
+                return ((prev >= 0) & (prev < n_frames)
+                        & written[jnp.clip(prev, 0, n_frames - 1)])
+
+            def in_range(prev, f):
+                return available(prev)
 
             # ---- spatial memory slots
             noncond_feats = []
@@ -1011,11 +1022,13 @@ class SAM2VideoPredictor:
             ptr_ring = jax.lax.dynamic_update_slice(
                 ptr_ring, obj_ptr.astype(ptr_ring.dtype)[None],
                 (f % p_ring, 0, 0))
-            return (mem_ring, ptr_ring), (low_res, obj_ptr, score, maskmem)
+            written = written.at[f].set(True)
+            return (mem_ring, ptr_ring, written), (low_res, obj_ptr, score,
+                                                   maskmem)
 
-        (mem_ring, ptr_ring), (low, optr, score, maskmem) = jax.lax.scan(
-            body, (mem_ring, ptr_ring),
-            (idxs, feats))
+        (mem_ring, ptr_ring, written), (low, optr, score, maskmem) = \
+            jax.lax.scan(body, (mem_ring, ptr_ring, written0),
+                         (idxs, feats))
 
         t, _, m = low.shape[:3]
         if self.fill_hole_area > 0:
@@ -1024,14 +1037,20 @@ class SAM2VideoPredictor:
         # vmap over frames so the non-overlap constraint (when enabled)
         # stays per-frame across objects, as in the per-frame path
         vidres = jax.vmap(lambda mm: self._vidres_impl(mm, hw=hw))(low)
-        return mem_ring, ptr_ring, low, vidres, optr, score, maskmem
+        return (mem_ring, ptr_ring, written, low, vidres, optr, score,
+                maskmem)
 
     def _scan_eligible(self, state, processing_order, to_track, reverse,
                        clear) -> bool:
-        """The scan path expresses exactly the non-interactive propagation
-        pattern: one contiguous run of untracked frames whose memory can
-        only come from the fixed conditioning set + frames the scan itself
-        produced. Anything else falls back to the per-frame path."""
+        """The scan path covers both fresh and INTERACTIVE propagation
+        histories: to_track may skip consolidated (cond) frames mid-run,
+        and pre-existing non-cond memories from an earlier pass are seeded
+        into the rings (reference semantics: the per-frame loop looks prev
+        frames up in non_cond_frame_outputs and skips misses,
+        sam2_base.py:564-570). Remaining fallbacks: memory clearing around
+        inputs, uncached features, and cond sets larger than the
+        cross-attention limit (whose per-frame closest-subset selection
+        the fixed cond group can't express)."""
         if not self.use_scan_propagation or clear or not to_track:
             return False
         if len(to_track) < 2 or self.cfg.num_maskmem <= 0:
@@ -1039,35 +1058,23 @@ class SAM2VideoPredictor:
         # scan stacks precomputed features; without the cache, fall back
         if any(f not in state["cached_features"] for f in to_track):
             return False
-        # contiguous tail of the processing order
-        order = list(processing_order)
-        if to_track != order[len(order) - len(to_track):]:
-            return False
-        step = -1 if reverse else 1
-        if any(b - a != step for a, b in zip(to_track, to_track[1:])):
-            return False
-        # no pre-existing non-cond memories (they could feed slots from
-        # outside the scan's ring)
-        if state["output_dict"]["non_cond_frame_outputs"]:
-            return False
-        # all cond frames strictly before the run (after it, for reverse),
-        # and none dropped by the cond-attention limit
         cond = state["output_dict"]["cond_frame_outputs"]
-        first = to_track[0]
-        if reverse:
-            if any(t < first for t in cond):
-                return False
-        elif any(t > first for t in cond):
-            return False
         limit = self.cfg.max_cond_frames_in_attn
         if limit != -1 and len(cond) > limit:
             return False
+        # seeded entries must have this run's object-batch size (stale
+        # passes from before an add/remove_object can't be reused)
+        b = self._get_obj_num(state)
+        for out in state["output_dict"]["non_cond_frame_outputs"].values():
+            if out["maskmem_features"].shape[0] != b:
+                return False
         return True
 
     def _propagate_scan(self, state, to_track, reverse):
-        """Run the scan path over `to_track` (consecutive frame indices),
-        store per-frame outputs in the session dicts, and return the
-        stacked video-res masks [T, B, 1, H, W] (device-resident)."""
+        """Run the scan path over `to_track` (monotone frame indices, gaps
+        at consolidated frames allowed), store per-frame outputs in the
+        session dicts, and return the per-frame video-res masks
+        (device-resident), aligned with to_track."""
         cfg = self.cfg
         output_dict = state["output_dict"]
         batch_size = self._get_obj_num(state)
@@ -1076,6 +1083,7 @@ class SAM2VideoPredictor:
         stride = max(cfg.memory_temporal_stride_for_eval, 1)
         r_mem = max(cfg.num_maskmem, (cfg.num_maskmem - 2) * stride + 2)
         p_ring = cfg.max_obj_ptrs_in_encoder
+        n_frames = state["num_frames"]
 
         cond_items = sorted(output_dict["cond_frame_outputs"].items())
         cond_idx = jnp.asarray([t for t, _ in cond_items], jnp.int32)
@@ -1091,8 +1099,35 @@ class SAM2VideoPredictor:
         ptr_ring = jnp.zeros((p_ring, batch_size, cfg.hidden_dim),
                              self.compute_dtype)
 
+        # seed rings + availability with pre-existing non-cond outputs the
+        # run can still reference: frames within one ring length BEFORE the
+        # first tracked frame (after it, in reverse). Frames >= scan_start
+        # get re-tracked before any lookup reaches them, and entries past
+        # the window can never be queried (max lookback < ring length), so
+        # seeding exactly this window reproduces the reference's
+        # dict-lookup semantics.
+        scan_start = to_track[0]
+        noncond = output_dict["non_cond_frame_outputs"]
+        written = np.zeros((n_frames,), bool)
+        if reverse:
+            window = range(scan_start + 1,
+                           min(n_frames, scan_start + p_ring))
+        else:
+            window = range(max(0, scan_start - p_ring + 1), scan_start)
+        for t in window:
+            out = noncond.get(t)
+            if out is None:
+                continue
+            written[t] = True
+            ptr_ring = ptr_ring.at[t % p_ring].set(
+                jnp.asarray(out["obj_ptr"]).astype(self.compute_dtype))
+            if abs(t - scan_start) <= r_mem - 1:
+                mem_ring = mem_ring.at[t % r_mem].set(
+                    jnp.asarray(out["maskmem_features"]).reshape(
+                        batch_size, s, s, cfg.mem_dim).astype(jnp.bfloat16))
+        written = jnp.asarray(written)
+
         multimask = self._use_multimask(False, None)
-        scan_start = jnp.int32(to_track[0])
         all_out = []
         for c0 in range(0, len(to_track), self.scan_chunk):
             chunk = to_track[c0:c0 + self.scan_chunk]
@@ -1108,9 +1143,9 @@ class SAM2VideoPredictor:
                     stacked = stacked[:, None]
                 feats.append(stacked)
             idxs = jnp.asarray(chunk, jnp.int32)
-            (mem_ring, ptr_ring, low, vidres, optr, score,
+            (mem_ring, ptr_ring, written, low, vidres, optr, score,
              maskmem) = self._scan_jit(
-                self.params, tuple(feats), idxs, scan_start, cond_mem,
+                self.params, tuple(feats), idxs, written, cond_mem,
                 cond_ptrs, cond_idx, mem_ring, ptr_ring,
                 reverse=reverse, multimask=multimask, hw=hw,
                 max_ptrs=min(state["num_frames"],
@@ -1179,11 +1214,14 @@ class SAM2VideoPredictor:
             and f not in consolidated_inds["non_cond_frame_outputs"]]
         if self._scan_eligible(state, processing_order, to_track, reverse,
                                clear):
-            # whole-clip scan: stored frames yield first (they precede the
-            # run by construction), then one dispatch tracks the rest
+            # whole-clip scan: one dispatch per chunk tracks to_track;
+            # consolidated (stored) frames interleave in processing order
+            vidres_frames = self._propagate_scan(state, to_track, reverse)
+            scan_masks = dict(zip(to_track, vidres_frames))
             for frame_idx in processing_order:
-                if frame_idx == to_track[0]:
-                    break
+                if frame_idx in scan_masks:
+                    yield frame_idx, obj_ids, scan_masks[frame_idx]
+                    continue
                 key = ("cond_frame_outputs"
                        if frame_idx in consolidated_inds["cond_frame_outputs"]
                        else "non_cond_frame_outputs")
@@ -1195,9 +1233,6 @@ class SAM2VideoPredictor:
                 yield frame_idx, obj_ids, self._vidres_jit(
                     jnp.asarray(current_out["pred_masks"]).astype(
                         jnp.float32), hw=hw)
-            vidres_frames = self._propagate_scan(state, to_track, reverse)
-            for frame_idx, masks in zip(to_track, vidres_frames):
-                yield frame_idx, obj_ids, masks
             return
 
         for frame_idx in processing_order:
