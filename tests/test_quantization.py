@@ -95,6 +95,42 @@ def test_init_quantized_matches_quantize_after_init():
     assert toks.shape == (1, 4) and int(n) <= 4
 
 
+def test_w8a8_dense_close_to_fp():
+    from video_llava_seg_tpu.ops.quantization import (
+        quantize_activations_rowwise,
+    )
+
+    key = jax.random.PRNGKey(4)
+    p = nn.dense_init(key, 256, 512)
+    x = jax.random.normal(jax.random.PRNGKey(5), (16, 256), jnp.float32)
+    want = nn.dense(p, x)
+    q, scale = quantize_kernel(p["kernel"], 8)
+    pq = {"kernel_qa": q, "kernel_scale": scale, "bias": p["bias"]}
+    got = nn.dense(pq, x)
+    rel = np.abs(np.asarray(got - want)).max() / (
+        np.abs(np.asarray(want)).max() + 1e-9)
+    assert rel < 0.05, rel
+    # the int8 dot must consume int8 activations exactly
+    xq, a_scale = quantize_activations_rowwise(x)
+    assert xq.dtype == jnp.int8 and int(jnp.abs(xq).max()) <= 127
+
+
+def test_w8a8_tree_dispatch():
+    from video_llava_seg_tpu.config import LlamaConfig
+    from video_llava_seg_tpu.models import llama
+
+    cfg = LlamaConfig.tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params, 8, min_size=1024, act_quant=True)
+    assert "kernel_qa" in qparams["layers"][0]["attn"]["wq"]
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 6, cfg.hidden_size))
+    lf, _ = llama.forward(params, cfg, x, jnp.arange(6))
+    lq, _ = llama.forward(qparams, cfg, x, jnp.arange(6))
+    pf = jax.nn.softmax(lf, -1)
+    pq_ = jax.nn.softmax(lq, -1)
+    assert float(jnp.abs(pf - pq_).max()) < 0.2
+
+
 def test_int4_range():
     k = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
     q, scale = quantize_kernel(k, 4)

@@ -120,6 +120,15 @@ def unembed(params, cfg: LlamaConfig, h):
         w = params["embed_tokens"]["embedding"].astype(h.dtype)
         return jnp.dot(h, w.T, preferred_element_type=jnp.float32)
     head = params["lm_head"]
+    if "kernel_qa" in head:  # W8A8 (ops/quantization.py act_quant)
+        from video_llava_seg_tpu.ops.quantization import (
+            quantize_activations_rowwise,
+        )
+
+        hq, a_scale = quantize_activations_rowwise(h)
+        y = jnp.dot(hq, head["kernel_qa"],
+                    preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * a_scale * head["kernel_scale"]
     if "kernel_q" in head:  # weight-only quantized (ops/quantization.py)
         w = (head["kernel_q"].astype(jnp.float32)
              * head["kernel_scale"]).astype(h.dtype)

@@ -47,6 +47,21 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(p, x):
+    if "kernel_qa" in p:
+        # W8A8 (ops/quantization.py act_quant): dynamic per-row activation
+        # quant + int8xint8 MXU dot (v5e int8 peak ~2x bf16), rescaled by
+        # act-row x weight-col scales
+        from video_llava_seg_tpu.ops.quantization import (
+            quantize_activations_rowwise,
+        )
+
+        xq, a_scale = quantize_activations_rowwise(x)
+        y = jnp.dot(xq, p["kernel_qa"], preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * a_scale
+             * p["kernel_scale"]).astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     if "kernel_q" in p:  # weight-only quantized (ops/quantization.py)
         kernel = (p["kernel_q"].astype(jnp.float32)
                   * p["kernel_scale"]).astype(x.dtype)
