@@ -74,15 +74,21 @@ def init(key, cfg: LlamaConfig, dtype=jnp.float32):
 
 
 def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
-                   dtype=jnp.bfloat16, min_size: int = 1 << 16):
-    """Initialize directly into weight-only-quantized form, one jitted
-    layer at a time, so peak HBM is the int8 tree plus ONE bf16 layer.
+                   dtype=jnp.bfloat16, min_size: int = 1 << 16,
+                   act_quant: bool = False):
+    """Initialize directly into quantized form, one jitted layer at a
+    time, so peak HBM is the int8 tree plus ONE bf16 layer.
 
     An 8B-param model is ~16 GB in bf16 — it does not fit a 16 GB v5e —
     but ~8 GB as int8 weights + fp32 per-channel scales (embeddings stay
     bf16). This is what lets the flagship configs run at FULL depth on one
     chip instead of extrapolating from a layer slice (reference serving
-    equivalent: --load_8bit, llava/model/builder.py:47-66)."""
+    equivalent: --load_8bit, llava/model/builder.py:47-66).
+
+    act_quant=True stores W8A8 kernels ('kernel_qa'): nn.dense then runs
+    int8xint8 MXU dots with dynamic per-row activation quantization —
+    same HBM footprint, but the dot reads int8 weights directly instead
+    of a dequantized bf16 copy."""
     from video_llava_seg_tpu.ops.quantization import quantize_tree
 
     keys = jax.random.split(key, cfg.num_layers + 3)
@@ -90,7 +96,7 @@ def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
 
     layer_q = jax.jit(
         lambda k: quantize_tree(init_layer(k, cfg, dtype), bits=bits,
-                                min_size=min_size))
+                                min_size=min_size, act_quant=act_quant))
     p = {
         "embed_tokens": nn.embedding_init(keys[0], cfg.vocab_size, d, dtype),
         "layers": [jax.block_until_ready(layer_q(keys[i + 2]))
@@ -100,7 +106,7 @@ def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
     if not cfg.tie_word_embeddings:
         head_q = jax.jit(lambda k: quantize_tree(
             nn.dense_init(k, d, cfg.vocab_size, bias=False, dtype=dtype),
-            bits=bits, min_size=min_size))
+            bits=bits, min_size=min_size, act_quant=act_quant))
         p["lm_head"] = jax.block_until_ready(head_q(keys[1]))
     return p
 
@@ -130,10 +136,12 @@ def unembed(params, cfg: LlamaConfig, h):
                     preferred_element_type=jnp.int32)
         return y.astype(jnp.float32) * a_scale * head["kernel_scale"]
     if "kernel_q" in head:  # weight-only quantized (ops/quantization.py)
-        w = (head["kernel_q"].astype(jnp.float32)
-             * head["kernel_scale"]).astype(h.dtype)
-    else:
-        w = head["kernel"].astype(h.dtype)
+        # output-side per-channel scale (see ops/nn.py dense): keeps the
+        # dot's weight operand a fused int8->bf16 convert
+        y = jnp.dot(h, head["kernel_q"].astype(h.dtype),
+                    preferred_element_type=jnp.float32)
+        return y * head["kernel_scale"]
+    w = head["kernel"].astype(h.dtype)
     return jnp.dot(h, w, preferred_element_type=jnp.float32)
 
 
@@ -171,11 +179,17 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
                       alibi=cfg.use_alibi, interpret=interpret)
         new_kv = (k, v)
     else:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, 0, cache_len, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, 0, cache_len, 0))
+        # cache_kv = (k_all [L,B,Hkv,S,D], v_all, layer_idx): write ONLY
+        # the s new tokens into the stacked cache (never copy/rebuild a
+        # whole layer — the per-step jnp.stack of the old design rewrote
+        # the full multi-GB cache every decoded token)
+        k_all, v_all, li = cache_kv
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None], (li, 0, 0, cache_len, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None], (li, 0, 0, cache_len, 0))
+        ck = jax.lax.dynamic_index_in_dim(k_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(v_all, li, 0, keepdims=False)
         valid = cache_len + s
         q_pos = (cache_len + jnp.arange(s)
                  if (cfg.sliding_window is not None or cfg.use_alibi)
@@ -184,7 +198,7 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
                                 kv_valid_len=valid,
                                 window=cfg.sliding_window,
                                 alibi=cfg.use_alibi, q_positions=q_pos)
-        new_kv = (ck, cv)
+        new_kv = (k_all, v_all)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
     return nn.dense(layer["attn"]["wo"], o), new_kv
 
@@ -249,22 +263,21 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
         position_ids = position_ids[None]
     cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
     s = x.shape[1]
-    new_k, new_v = [], []
+    k_all, v_all = cache.k, cache.v
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["input_layernorm"], cfg, x)
         a, (k, v) = _attn_block(layer, cfg, h, cos, sin, causal=True,
                                 interpret=interpret)
-        new_k.append(jax.lax.dynamic_update_slice(
-            cache.k[li], k.astype(cache.k.dtype), (0, 0, 0, 0)))
-        new_v.append(jax.lax.dynamic_update_slice(
-            cache.v[li], v.astype(cache.v.dtype), (0, 0, 0, 0)))
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.astype(k_all.dtype)[None], (li, 0, 0, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.astype(v_all.dtype)[None], (li, 0, 0, 0, 0))
         x = x + a
         h = _norm(layer["post_attention_layernorm"], cfg, x)
         x = x + _mlp_block(layer, h, cfg)
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
-    cache = KVCache(jnp.stack(new_k), jnp.stack(new_v),
-                    jnp.asarray(s, jnp.int32))
+    cache = KVCache(k_all, v_all, jnp.asarray(s, jnp.int32))
     return logits, x, cache
 
 
@@ -276,21 +289,19 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
     x = token_embeds
     pos = cache.length[None, None]  # [1,1]
     cos, sin = rope_1d_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
-    new_k, new_v = [], []
+    k_all, v_all = cache.k, cache.v
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["input_layernorm"], cfg, x)
-        a, (ck, cv) = _attn_block(
+        a, (k_all, v_all) = _attn_block(
             layer, cfg, h, cos, sin, causal=False,
-            cache_kv=(cache.k[li], cache.v[li]), cache_len=cache.length,
+            cache_kv=(k_all, v_all, li), cache_len=cache.length,
             interpret=interpret)
-        new_k.append(ck)
-        new_v.append(cv)
         x = x + a
         h = _norm(layer["post_attention_layernorm"], cfg, x)
         x = x + _mlp_block(layer, h, cfg)
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
-    cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + 1)
+    cache = KVCache(k_all, v_all, cache.length + 1)
     return logits, x, cache
 
 

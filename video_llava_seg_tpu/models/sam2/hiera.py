@@ -135,15 +135,29 @@ def _get_pos_embed(params, hw: Tuple[int, int]):
 
 
 def _attention_fused_windows(blk, x, num_heads: int, ws: int,
-                             interpret: bool = False):
-    """Non-pooling windowed block attention without ever materializing the
-    partitioned layout: qkv dense on the map, fused window SDPA (Pallas),
-    out proj on the map. Replaces partition->SDPA->unpartition
-    (hieradet.py:84-166 + backbones/utils.py:16-62) on the hot stage-1/2
-    maps."""
-    qkv = nn.dense(blk["qkv"], x)                  # [B, H, W, 3*dout]
+                             q_stride=None, interpret: bool = False):
+    """Windowed block attention without ever materializing the partitioned
+    layout: qkv dense on the map, fused window SDPA (Pallas), out proj on
+    the map. Replaces partition->SDPA->unpartition (hieradet.py:84-166 +
+    backbones/utils.py:16-62) on every windowed block, including the
+    q-pool stage transitions.
+
+    Non-divisible maps are zero-padded BEFORE the qkv dense — identical
+    to the reference, whose window_partition pads the post-norm map so
+    pad tokens carry the qkv bias as keys — and the output is cropped
+    (at pooled resolution for q-pool blocks, = the shortcut's dims)."""
+    b, h, w, _ = x.shape
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    qkv = nn.dense(blk["qkv"], x)                  # [B, Hp, Wp, 3*dout]
     o = window_attention(qkv, num_heads=num_heads, ws=ws,
-                         interpret=interpret)
+                         q_pool=q_stride, interpret=interpret)
+    ps = q_stride[0] if q_stride is not None else 1
+    oh, ow = h // ps, w // ps
+    if o.shape[1] != oh or o.shape[2] != ow:
+        o = o[:, :oh, :ow]
     return nn.dense(blk["proj_attn"], o)
 
 
@@ -198,11 +212,12 @@ def apply(params, cfg: HieraConfig, x, interpret: bool = False) -> List:
                 shortcut = _max_pool_2x2(shortcut, q_stride)
 
         h, w = xn.shape[1], xn.shape[2]
-        if (USE_FUSED_WINDOW_ATTN and ws > 0 and q_stride is None
-                and h % ws == 0 and w % ws == 0):
-            # hot path (all of stages 1-2 at SAM2's 1024 input): fused
-            # partition+SDPA+unpartition, no 6-D relayouts
-            xw = _attention_fused_windows(blk, xn, heads, ws, interpret)
+        if USE_FUSED_WINDOW_ATTN and ws > 0:
+            # hot path (every windowed block, incl. q-pool transitions and
+            # non-ws-divisible stage maps): fused partition+SDPA+
+            # unpartition, no 6-D relayouts
+            xw = _attention_fused_windows(blk, xn, heads, ws, q_stride,
+                                          interpret)
         else:
             win = ws
             if win > 0:

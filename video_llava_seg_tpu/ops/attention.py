@@ -75,10 +75,17 @@ def attention_reference(q, k, v, *, causal: bool = False,
         scale = 1.0 / math.sqrt(D)
     group = Hq // Hkv
     if group > 1:
-        k = jnp.repeat(k, group, axis=1)
-        v = jnp.repeat(v, group, axis=1)
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * scale
+        # GQA without materializing repeated K/V (a 4x KV-cache HBM tax at
+        # decode): fold the group into the query-sequence axis — q heads
+        # are blocked per kv head, so [B,Hkv,group*Sq,Skv] reshapes
+        # exactly to [B,Hq,Sq,Skv]
+        qg = q.reshape(B, Hkv, group * Sq, D)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qg, k,
+                       preferred_element_type=jnp.float32) * scale
+        s = s.reshape(B, Hq, Sq, Skv)
+    else:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
     # rel = key pos minus query pos; queries default to the sequence end,
     # q_positions ([Sq] absolute key-space positions) overrides (cached
     # decode, where the query sits at cache_len, not Skv-1)
@@ -100,8 +107,14 @@ def attention_reference(q, k, v, *, causal: bool = False,
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :], s, _MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if group > 1:
+        pg = p.reshape(B, Hkv, group * Sq, Skv)
+        out = jnp.einsum("bhqk,bhkd->bhqd", pg.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, Hq, Sq, D)
+    else:
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 

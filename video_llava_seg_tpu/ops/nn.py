@@ -63,10 +63,19 @@ def dense(p, x):
             y = y + p["bias"].astype(x.dtype)
         return y
     if "kernel_q" in p:  # weight-only quantized (ops/quantization.py)
-        kernel = (p["kernel_q"].astype(jnp.float32)
-                  * p["kernel_scale"]).astype(x.dtype)
-    else:
-        kernel = p["kernel"].astype(x.dtype)
+        # per-output-channel scale commutes with the contraction, so apply
+        # it to the [*, out] OUTPUT instead of the [in, out] kernel: the
+        # dot's weight operand is then a pure int8->bf16 convert (fused,
+        # int8 HBM reads) rather than a convert*scale that XLA may
+        # materialize as a full bf16 weight copy. int8 values are exact in
+        # bf16; accumulation in f32.
+        y = jnp.dot(x, p["kernel_q"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = (y * p["kernel_scale"]).astype(x.dtype)
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
+    kernel = p["kernel"].astype(x.dtype)
     y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
