@@ -350,6 +350,20 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32,
         "note": "full-depth numbers MEASURED on chip (int8 weight-only,"
                 " ~8 GB); bf16 slice + linear extrapolation kept alongside",
     })
+
+    # --- W8A8 at full depth: same HBM footprint, but the dots run
+    # int8 x int8 on the MXU (v5e int8 peak ~2x bf16) — targets the
+    # compute-bound prefill share; decode stays bandwidth-bound.
+    params_w8a8 = llama.init_quantized(jax.random.PRNGKey(0), full, bits=8,
+                                       act_quant=True)
+    t_prefill_a, t_decode_a = _llm_prefill_decode_times(
+        params_w8a8, full, prefill_len, decode_steps)
+    del params_w8a8
+    gc.collect()
+    out.update({
+        "prefill_tok_s_full_w8a8": round(prefill_len / t_prefill_a, 0),
+        "decode_ms_per_tok_full_w8a8": round(1e3 * t_decode_a, 2),
+    })
     return out
 
 
@@ -513,8 +527,17 @@ def main():
             jax.clear_caches()
 
     if len(results) > 1:
+        # merge into the existing detail file: a partial run (--configs 1,2)
+        # must not drop the measured entries of configs it didn't touch
+        detail = {}
+        try:
+            with open("BENCH_DETAIL.json") as fh:
+                detail = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        detail.update({str(k): v for k, v in results.items()})
         with open("BENCH_DETAIL.json", "w") as fh:
-            json.dump({str(k): v for k, v in results.items()}, fh, indent=1)
+            json.dump(dict(sorted(detail.items())), fh, indent=1)
 
     head = results.get(3) or next(iter(results.values()))
     print(json.dumps({

@@ -202,3 +202,45 @@ def test_hiera_fused_gate():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
     outs = hiera.apply(params, cfg, x)
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+@pytest.mark.parametrize("shape,heads,ws,r,cw,ps", [
+    # column-split tiles (cw < n_wc): parity must hold across column seams
+    ((1, 16, 32, 3 * 128), 2, 8, 1, 2, 1),
+    ((2, 16, 32, 3 * 128), 2, 8, 2, 2, 2),   # q-pool + column-split tiles
+])
+def test_pallas_column_tiling_matches_xla(shape, heads, ws, r, cw, ps):
+    from video_llava_seg_tpu.ops.window_attention import window_attention
+
+    qkv = jax.random.normal(jax.random.PRNGKey(6), shape, jnp.float32)
+    kw = dict(num_heads=heads, ws=ws)
+    if ps > 1:
+        kw["q_pool"] = (ps, ps)
+    want = window_attention(qkv, backend="xla", **kw)
+    got = window_attention(qkv, backend="pallas", rows_per_block=r,
+                           cols_per_block=cw, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tile_picker_respects_vmem_budget():
+    """The hiera-large stage-4-transition shape (heads=16, hd=72, C=1152)
+    blew Mosaic's 16 MiB scoped-vmem limit with full-width tiles; the
+    picker must now column-split it under budget, and must return None
+    (-> XLA fallback) when even a 1x1-window tile cannot fit."""
+    from video_llava_seg_tpu.ops.window_attention import (
+        _pick_tiles,
+        _vmem_estimate,
+        _VMEM_BUDGET,
+    )
+
+    t = _pick_tiles(8, 8, ws=8, c3=3 * 1152, c=1152, heads=16, hd=72,
+                    ps=2, itemsize=2)
+    assert t is not None
+    r, cw = t
+    assert cw < 8   # full width (the OOM config) must not be chosen
+    assert _vmem_estimate(r, cw, ws=8, c3=3 * 1152, c=1152, heads=16,
+                          hd=72, ps=2, itemsize=2) <= _VMEM_BUDGET
+    # a pathological config no tile can fit: huge window, huge C
+    assert _pick_tiles(1, 1, ws=64, c3=3 * 4096, c=4096, heads=32, hd=128,
+                       ps=1, itemsize=2) is None

@@ -86,46 +86,119 @@ def _win_kernel(qkv_ref, o_ref, *scratch, ws: int, n_w: int, r: int,
             r * q_ws, n_w * q_ws, hd).astype(o_ref.dtype)
 
 
-def _pick_rows_per_block(n_wr: int, bytes_per_window_row: int,
-                         budget: int = 1 << 21) -> int:
-    """Largest divisor of n_wr whose q tile stays under ~2 MB."""
-    r = max(1, min(n_wr, budget // max(1, bytes_per_window_row)))
-    while n_wr % r:
-        r -= 1
-    return r
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _vmem_estimate(r: int, cw: int, *, ws: int, c3: int, c: int, heads: int,
+                   hd: int, ps: int, itemsize: int) -> int:
+    """Scoped-VMEM bytes the kernel needs for an (r window-rows x cw
+    window-cols) tile.
+
+    Calibrated against Mosaic's reported stack usage on v5e: the
+    hiera-large stage-4-transition block (heads=16, hd=72, ws=8, ps=2,
+    C=1152, full-width 8x8-window tile) reports 18.14 MiB; this model
+    gives 17.5 MiB for that point, so the caller budgets with margin.
+    Dominant terms: the double-buffered input DMA tile and the per-head
+    q/k/v/score temporaries of the unrolled head loop, with hd padded to
+    the 128-lane minor dim (hd=72 -> 128 costs 1.78x on every per-head
+    buffer)."""
+    tile_r, tile_c = r * ws, cw * ws
+    tok, qtok = ws * ws, (ws // ps) ** 2
+    hdp = _ceil_to(hd, 128)
+    tokp = _ceil_to(tok, 128)
+    tok8, qtok8 = _ceil_to(tok, 8), _ceil_to(qtok, 8)
+    wins = r * cw
+    per_win = (2 * tok8 * hdp * itemsize      # k, v window tiles
+               + 3 * qtok8 * hdp * 4          # q, ctx (+1 copy), f32
+               + 2 * qtok8 * tokp * 4)        # scores, probs, f32
+    return (2 * tile_r * tile_c * c3 * itemsize       # double-buffered in
+            + 2 * (tile_r // ps) * (tile_c // ps) * c * itemsize  # out
+            + heads * wins * per_win
+            + 3 * tile_r * tile_c * hdp * itemsize)   # map-level temps
+
+
+_VMEM_BUDGET = 12 << 20   # target well under the 16 MiB scoped-vmem limit
+
+
+def _pick_tiles(n_wr: int, n_wc: int, *, ws: int, c3: int, c: int,
+                heads: int, hd: int, ps: int,
+                itemsize: int) -> Optional[Tuple[int, int]]:
+    """Choose (window-rows, window-cols) per tile.
+
+    Prefers the widest column tile whose estimate fits the soft budget
+    (wide minor-dim DMAs), then the largest row count whose single
+    input tile stays <= ~4 MiB (grid pipelining). The estimate is a
+    conservative over-count — Mosaic reuses stack buffers across the
+    unrolled head loop, so shapes estimating 2-3x over budget still
+    compile (probed on v5e: ws14/c448/h8 full-width estimates 39 MiB
+    and compiles; the b+ seg-head trunk runs it in production). So when
+    nothing fits the soft budget, fall back to the full-width r=1 tile
+    (the only Mosaic-legal narrow option for e.g. ws=14, and the
+    proven-in-context configuration) instead of XLA. Returns None only
+    when the double-buffered DMA tiles alone exceed the 16 MiB scoped
+    limit — a physical certainty, not a heuristic."""
+    est = functools.partial(_vmem_estimate, ws=ws, c3=c3, c=c, heads=heads,
+                            hd=hd, ps=ps, itemsize=itemsize)
+    for cw in sorted((d for d in range(1, n_wc + 1) if n_wc % d == 0),
+                     reverse=True):
+        # Mosaic block-mapping rule: the second-minor block dim (tile
+        # width) must be a multiple of 8 — for both the input tile
+        # (cw*ws) and the pooled output tile (cw*ws/ps) — unless the
+        # tile spans the full array width (cw == n_wc).
+        if cw != n_wc and ((cw * ws) % 8 or (cw * ws // ps) % 8):
+            continue
+        if est(1, cw) > _VMEM_BUDGET:
+            continue
+        best = 1
+        for r in sorted(d for d in range(1, n_wr + 1) if n_wr % d == 0):
+            if (est(r, cw) <= _VMEM_BUDGET
+                    and r * ws * cw * ws * c3 * itemsize <= (1 << 22)):
+                best = r
+        return best, cw
+    dma = (2 * ws * n_wc * ws * c3 * itemsize
+           + 2 * (ws // ps) * (n_wc * ws // ps) * c * itemsize)
+    if dma > (16 << 20):
+        return None
+    return 1, n_wc
 
 
 def _window_attention_pallas(qkv, *, num_heads: int, ws: int, scale: float,
                              ps: int, rows_per_block: Optional[int],
+                             cols_per_block: Optional[int],
                              interpret: bool):
     b, h, w, c3 = qkv.shape
     c = c3 // 3
     hd = c // num_heads
-    n_w = w // ws
+    n_wc = w // ws
     n_wr = h // ws
-    if rows_per_block is None:
-        rows_per_block = _pick_rows_per_block(
-            n_wr, ws * w * c3 * qkv.dtype.itemsize)
-    r = rows_per_block
+    if rows_per_block is None or cols_per_block is None:
+        picked = _pick_tiles(n_wr, n_wc, ws=ws, c3=c3, c=c, heads=num_heads,
+                             hd=hd, ps=ps, itemsize=qkv.dtype.itemsize)
+        picked = picked or (1, 1)   # explicit backends: best effort
+        rows_per_block = rows_per_block or picked[0]
+        cols_per_block = cols_per_block or picked[1]
+    r, cw = rows_per_block, cols_per_block
     assert n_wr % r == 0, (n_wr, r)
+    assert n_wc % cw == 0, (n_wc, cw)
 
-    kernel = functools.partial(_win_kernel, ws=ws, n_w=n_w, r=r,
+    kernel = functools.partial(_win_kernel, ws=ws, n_w=cw, r=r,
                                heads=num_heads, hd=hd, scale=scale, ps=ps)
     # pooled path only: VMEM scratch for the layout-reset round-trip of the
     # pooled q map (see _win_kernel)
-    scratch_shapes = ([pltpu.VMEM((r * (ws // ps), n_w * (ws // ps), hd),
+    scratch_shapes = ([pltpu.VMEM((r * (ws // ps), cw * (ws // ps), hd),
                                   qkv.dtype)] if ps > 1 else [])
     return pl.pallas_call(
         kernel,
-        grid=(b, n_wr // r),
+        grid=(b, n_wr // r, n_wc // cw),
         scratch_shapes=scratch_shapes,
         in_specs=[
-            pl.BlockSpec((1, r * ws, w, c3),
-                         lambda bb, rr: (bb, rr, 0, 0),
+            pl.BlockSpec((1, r * ws, cw * ws, c3),
+                         lambda bb, rr, cc: (bb, rr, cc, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r * ws // ps, w // ps, c),
-                               lambda bb, rr: (bb, rr, 0, 0),
+        out_specs=pl.BlockSpec((1, r * ws // ps, cw * ws // ps, c),
+                               lambda bb, rr, cc: (bb, rr, cc, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h // ps, w // ps, c), qkv.dtype),
         interpret=interpret,
@@ -176,10 +249,12 @@ def window_attention_xla(qkv, *, num_heads: int, ws: int, scale: float,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _wa(static, qkv):
-    num_heads, ws, scale, ps, rows_per_block, interpret = static
+    num_heads, ws, scale, ps, rows_per_block, cols_per_block, \
+        interpret = static
     return _window_attention_pallas(
         qkv, num_heads=num_heads, ws=ws, scale=scale, ps=ps,
-        rows_per_block=rows_per_block, interpret=interpret)
+        rows_per_block=rows_per_block, cols_per_block=cols_per_block,
+        interpret=interpret)
 
 
 def _wa_fwd(static, qkv):
@@ -187,7 +262,7 @@ def _wa_fwd(static, qkv):
 
 
 def _wa_bwd(static, qkv, g):
-    num_heads, ws, scale, ps, _, _ = static
+    num_heads, ws, scale, ps = static[:4]
     _, vjp = jax.vjp(
         lambda t: window_attention_xla(t, num_heads=num_heads, ws=ws,
                                        scale=scale, ps=ps), qkv)
@@ -201,6 +276,7 @@ def window_attention(qkv, *, num_heads: int, ws: int,
                      scale: Optional[float] = None,
                      q_pool: Optional[Tuple[int, int]] = None,
                      rows_per_block: Optional[int] = None,
+                     cols_per_block: Optional[int] = None,
                      backend: str = "auto", interpret: bool = False):
     """Windowed multi-head SDPA over an NHWC map, fused partition to
     unpartition.
@@ -228,11 +304,15 @@ def window_attention(qkv, *, num_heads: int, ws: int,
         scale = 1.0 / math.sqrt(hd)
     if backend == "auto":
         from video_llava_seg_tpu.ops.attention import _on_tpu
+        fits = _pick_tiles(h // ws, w // ws, ws=ws, c3=c3, c=c,
+                           heads=num_heads, hd=hd, ps=ps,
+                           itemsize=qkv.dtype.itemsize) is not None
         backend = ("pallas" if ((_on_tpu() or interpret)
-                                and pallas_window_legal(ws, ps))
+                                and pallas_window_legal(ws, ps) and fits)
                    else "xla")
     if backend == "xla":
         return window_attention_xla(qkv, num_heads=num_heads, ws=ws,
                                     scale=scale, ps=ps)
     assert backend == "pallas", backend
-    return _wa((num_heads, ws, scale, ps, rows_per_block, interpret), qkv)
+    return _wa((num_heads, ws, scale, ps, rows_per_block, cols_per_block,
+                interpret), qkv)
