@@ -411,8 +411,10 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
             cfg, llm=dataclasses.replace(llm_cfg, num_layers=1))
         params = llava.init(jax.random.PRNGKey(0), cfg_stub,
                             dtype=jnp.bfloat16)
+        # W8A8: same ~8 GB footprint as weight-only, equal decode ms/tok,
+        # but prefill rides int8 MXU dots (~1.5x measured on config 4)
         params["llm"] = llama.init_quantized(jax.random.PRNGKey(0), llm_cfg,
-                                             bits=8)
+                                             bits=8, act_quant=True)
     else:
         params = llava.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     sam2_cfg = seg_head_mod.make_sam2_cfg(cfg.seg)
@@ -482,8 +484,8 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         "decode_tokens": decode_tokens,
     }
     if full:
-        out["note"] = ("MEASURED at full 32-layer depth (int8 weight-only "
-                       "LLM, bf16 vision+seg) — no extrapolation")
+        out["note"] = ("MEASURED at full 32-layer depth (W8A8 int8 LLM, "
+                       "bf16 vision+seg) — no extrapolation")
     else:
         out["note"] = (f"LLM is a {n_llm_layers}-layer slice; LLM share "
                        f"scales ~x{full_layers / n_llm_layers:.0f} at full "
