@@ -11,7 +11,7 @@ long sequences and plain XLA einsum attention for small windows.
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,13 +19,20 @@ import jax.numpy as jnp
 from video_llava_seg_tpu.models.sam2.config import HieraConfig
 from video_llava_seg_tpu.ops import nn
 from video_llava_seg_tpu.ops.attention import attention
+from video_llava_seg_tpu.ops.hiera_block import (
+    hiera_block,
+    hiera_block_supported,
+)
 from video_llava_seg_tpu.ops.resize import interpolate
 from video_llava_seg_tpu.ops.window_attention import window_attention
 
 _LN_EPS = 1e-6  # hieradet norm_layer = partial(LayerNorm, eps=1e-6)
 
-# A/B switch for the fused window-attention path (benchmarks flip this to
-# measure in context; the fused path is numerically equivalent)
+# A/B switches (benchmarks flip these to measure in context; both fused
+# paths are numerically equivalent to the legacy partition path):
+# USE_FUSED_BLOCK: whole-block Pallas megakernel (ops/hiera_block.py) for
+# window-divisible maps; USE_FUSED_WINDOW_ATTN: fused window SDPA only.
+USE_FUSED_BLOCK = True
 USE_FUSED_WINDOW_ATTN = True
 
 
@@ -187,11 +194,16 @@ def _attention(blk, x, num_heads: int, q_stride, interpret: bool = False):
     return nn.dense(blk["proj_attn"], o)
 
 
-def apply(params, cfg: HieraConfig, x, interpret: bool = False) -> List:
+def apply(params, cfg: HieraConfig, x, interpret: bool = False,
+          blocks_limit: Optional[int] = None) -> List:
     """x: [B, 3, H, W] is NOT accepted — pass NHWC [B, H, W, 3].
 
     Returns the per-stage feature pyramid, highest resolution first, each
     [B, Hs, Ws, Cs] (reference returns NCHW; we stay NHWC).
+
+    blocks_limit: run only the first N blocks (profiling knob — prefix
+    timing isolates per-stage cost on hardware); the partial map is
+    appended so the traced function has a data-dependent output.
     """
     x = nn.conv2d(params["patch_embed"], x,
                   stride=(cfg.patch_stride, cfg.patch_stride),
@@ -203,9 +215,25 @@ def apply(params, cfg: HieraConfig, x, interpret: bool = False) -> List:
     stage_ends = set(cfg.stage_ends)
     for i, (blk, (din, dout, heads, ws, has_pool)) in enumerate(
             zip(params["blocks"], dims)):
+        q_stride = cfg.q_stride if has_pool else None
+        if (USE_FUSED_BLOCK and ws > 0
+                and hiera_block_supported(x.shape[1], x.shape[2], ws,
+                                          q_stride[0] if q_stride else 1)):
+            # hottest path: the WHOLE block (LN1 -> qkv -> window SDPA ->
+            # proj -> residual -> LN2 -> MLP) in one Pallas pass — one HBM
+            # read + one write of the token map per block, weights
+            # VMEM-resident, no inter-block relayout copies
+            x = hiera_block(blk, x, num_heads=heads, ws=ws,
+                            q_stride=q_stride, eps=_LN_EPS,
+                            interpret=interpret)
+            if i in stage_ends:
+                outputs.append(x)
+            if blocks_limit is not None and i + 1 >= blocks_limit:
+                outputs.append(x)
+                return outputs
+            continue
         shortcut = x
         xn = nn.layer_norm(blk["norm1"], x, _LN_EPS)
-        q_stride = cfg.q_stride if has_pool else None
         if din != dout:
             shortcut = nn.dense(blk["proj"], xn)
             if q_stride is not None:
@@ -213,9 +241,8 @@ def apply(params, cfg: HieraConfig, x, interpret: bool = False) -> List:
 
         h, w = xn.shape[1], xn.shape[2]
         if USE_FUSED_WINDOW_ATTN and ws > 0:
-            # hot path (every windowed block, incl. q-pool transitions and
-            # non-ws-divisible stage maps): fused partition+SDPA+
-            # unpartition, no 6-D relayouts
+            # fused partition+SDPA+unpartition, no 6-D relayouts (also the
+            # fallback for non-ws-divisible maps, e.g. tiny's ws=14 at 70)
             xw = _attention_fused_windows(blk, xn, heads, ws, q_stride,
                                           interpret)
         else:
@@ -242,4 +269,7 @@ def apply(params, cfg: HieraConfig, x, interpret: bool = False) -> List:
                                                        _LN_EPS), act=nn.gelu)
         if i in stage_ends:
             outputs.append(x)
+        if blocks_limit is not None and i + 1 >= blocks_limit:
+            outputs.append(x)
+            return outputs
     return outputs
