@@ -167,7 +167,61 @@ def check_train_step():
         seg_head_mod.make_sam2_cfg = orig_make
 
 
+def check_hiera_megakernel():
+    """Fused Hiera block megakernel (Mosaic-compiled) vs the XLA oracle,
+    incl. a padded (non-window-divisible) map and a q-pool transition —
+    the paths CPU interpret mode cannot Mosaic-verify."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_llava_seg_tpu.ops import nn
+    from video_llava_seg_tpu.ops.hiera_block import (
+        hiera_block,
+        hiera_block_xla,
+    )
+
+    cases = [
+        # (h, w, din, dout, heads, ws, ps)   divisible / padded / q-pool
+        (64, 64, 144, 144, 2, 8, 1),
+        (30, 30, 96, 96, 2, 14, 1),          # tiny-s3-like, padded to 42
+        (64, 64, 576, 1152, 16, 8, 2),       # hiera-L stage-4 transition
+        (32, 32, 768, 768, 8, 7, 1),         # tiny stage-4: gap-stored @8
+        (64, 64, 384, 768, 8, 14, 2),        # tiny s3->s4: pooled 7 @16
+        (64, 64, 576, 576, 8, 0, 1),         # hiera-L global: chunked SDPA
+    ]
+    for h, w, din, dout, heads, ws, ps in cases:
+        keys = jax.random.split(jax.random.PRNGKey(din + ws), 5)
+        blk = {
+            "norm1": nn.layer_norm_init(din, jnp.bfloat16),
+            "qkv": nn.dense_init(keys[0], din, dout * 3, dtype=jnp.bfloat16),
+            "proj_attn": nn.dense_init(keys[1], dout, dout,
+                                       dtype=jnp.bfloat16),
+            "norm2": nn.layer_norm_init(dout, jnp.bfloat16),
+            "mlp": nn.mlp_init(keys[2], [dout, dout * 4, dout],
+                               dtype=jnp.bfloat16),
+        }
+        if din != dout:
+            blk["proj"] = nn.dense_init(keys[3], din, dout,
+                                        dtype=jnp.bfloat16)
+        x = jax.random.normal(keys[4], (2, h, w, din), jnp.bfloat16)
+        qs = (ps, ps) if ps > 1 else None
+        got = jax.jit(lambda x, blk: hiera_block(
+            blk, x, num_heads=heads, ws=ws, q_stride=qs,
+            backend="pallas"))(x, blk)
+        want = jax.jit(lambda x, blk: hiera_block_xla(
+            blk, x, num_heads=heads, ws=ws, q_stride=qs))(x, blk)
+        g = np.asarray(got.astype(jnp.float32))
+        wnt = np.asarray(want.astype(jnp.float32))
+        rel = np.abs(g - wnt).max() / (np.std(wnt) + 1e-9)
+        assert rel < 0.15, (h, w, ws, ps, rel)   # bf16 rounding class
+        print(f"  hiera_block ok ({h}x{w} c{din}->{dout} ws{ws} ps{ps}): "
+              f"max rel {rel:.4f}")
+
+
+
+
 if __name__ == "__main__":
     check_flash_grads()
+    check_hiera_megakernel()
     check_train_step()
     print("TPU smoke: ALL OK")

@@ -107,11 +107,14 @@ def test_backward_matches_oracle_grad():
 
 def test_supported_gate():
     assert hiera_block_supported(64, 64, 8, 1)
-    assert not hiera_block_supported(64, 64, 14, 1)   # needs padding: LN
+    assert hiera_block_supported(64, 64, 14, 1)       # padded in-kernel
     assert hiera_block_supported(70, 70, 14, 1)       # ws14-divisible map
-    assert not hiera_block_supported(64, 64, 7, 1)    # odd window
-    assert not hiera_block_supported(64, 64, 0, 1)    # global block
-    assert not hiera_block_supported(64, 64, 14, 2)   # odd pooled side
+    assert hiera_block_supported(64, 64, 7, 1)        # odd: gap-stored @8
+    assert hiera_block_supported(64, 64, 14, 2)       # pooled side 7 @16
+    assert not hiera_block_supported(64, 64, 7, 2)    # pool !| window
+    assert hiera_block_supported(64, 64, 0, 1)        # global: q-chunked
+    assert not hiera_block_supported(64, 48, 0, 1)    # global non-square
+    assert not hiera_block_supported(64, 64, 0, 2)    # global + q-pool
 
 
 def test_mlp_chunking_paths():
@@ -132,3 +135,101 @@ def test_mlp_chunking_paths():
         hb._row_chunks = orig
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("shape,heads,ws,ps,proj", [
+    ((1, 18, 10, 32), 2, 4, 1, False),     # pad 18x10 -> 20x12
+    ((2, 12, 12, 32), 1, 8, 2, True),      # pad 12x12 -> 16x16 + q-pool
+    ((1, 30, 30, 48), 2, 14, 1, False),    # ws14 pad 30 -> 42 (tiny s3)
+    ((1, 14, 14, 32), 2, 7, 1, False),     # odd ws7: gap-stored @8
+    ((2, 16, 16, 32), 2, 7, 1, False),     # ws7 + map pad 16 -> 21
+    ((1, 28, 28, 32), 2, 14, 2, True),     # pooled side 7: gap @16
+    ((1, 32, 32, 32), 1, 14, 2, True),     # same + map pad 32 -> 42
+])
+def test_kernel_padded_maps(shape, heads, ws, ps, proj):
+    """Non-window-divisible maps: in-kernel post-norm masking must equal
+    the oracle's post-norm zero padding (hieradet window_partition)."""
+    b, h, w, din = shape
+    dout = din * 2 if proj else din
+    blk = make_block(jax.random.PRNGKey(6), din, dout, with_proj=proj)
+    x = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32)
+    q_stride = (ps, ps) if ps > 1 else None
+    want = hiera_block_xla(blk, x, num_heads=heads, ws=ws,
+                           q_stride=q_stride, eps=1e-6)
+    got = hiera_block(blk, x, num_heads=heads, ws=ws, q_stride=q_stride,
+                      eps=1e-6, backend="pallas", interpret=True)
+    assert got.shape == (b, h // ps, w // ps, dout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("shape,heads", [
+    ((1, 16, 16, 32), 2),                  # global block, multi-chunk SDPA
+    ((2, 8, 8, 64), 4),
+])
+def test_kernel_global_attention(shape, heads):
+    """ws=0 (hieradet global_att_blocks): q-chunked full-map SDPA."""
+    b, h, w, din = shape
+    blk = make_block(jax.random.PRNGKey(10), din, din)
+    x = jax.random.normal(jax.random.PRNGKey(11), shape, jnp.float32)
+    want = hiera_block_xla(blk, x, num_heads=heads, ws=0, q_stride=None,
+                           eps=1e-6)
+    got = hiera_block(blk, x, num_heads=heads, ws=0, q_stride=None,
+                      eps=1e-6, backend="pallas", interpret=True)
+    assert got.shape == shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_global_oracle_matches_legacy_apply():
+    """Oracle ws=0 semantics vs the legacy whole-map attention inside
+    hiera.apply on a config WITH global blocks."""
+    from video_llava_seg_tpu.models.sam2 import hiera
+    from video_llava_seg_tpu.models.sam2.config import HieraConfig
+
+    cfg = HieraConfig(embed_dim=32, num_heads=2, stages=(1, 1, 2, 1),
+                      global_att_blocks=(3,),
+                      window_pos_embed_bkg_spatial_size=(7, 7),
+                      window_spec=(8, 4, 4, 4))
+    params = hiera.init(jax.random.PRNGKey(12), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(13), (1, 128, 128, 3))
+
+    prev = (hiera.USE_FUSED_BLOCK, hiera.USE_FUSED_WINDOW_ATTN)
+    try:
+        hiera.USE_FUSED_BLOCK = False
+        hiera.USE_FUSED_WINDOW_ATTN = False
+        legacy = hiera.apply(params, cfg, x)
+        hiera.USE_FUSED_BLOCK = True
+        fused = hiera.apply(params, cfg, x, interpret=True)
+    finally:
+        hiera.USE_FUSED_BLOCK, hiera.USE_FUSED_WINDOW_ATTN = prev
+    for a, b in zip(fused, legacy):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_padded_oracle_matches_legacy_apply():
+    """Oracle padding semantics vs the legacy partition path on a config
+    whose maps are NOT window-divisible (ws=14 at 36x36 etc.)."""
+    from video_llava_seg_tpu.models.sam2 import hiera
+    from video_llava_seg_tpu.models.sam2.config import HieraConfig
+
+    cfg = HieraConfig(embed_dim=32, num_heads=2, stages=(1, 1, 2, 1),
+                      global_att_blocks=(),
+                      window_pos_embed_bkg_spatial_size=(7, 7),
+                      window_spec=(8, 4, 14, 4))
+    params = hiera.init(jax.random.PRNGKey(8), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 288, 288, 3))
+
+    prev = (hiera.USE_FUSED_BLOCK, hiera.USE_FUSED_WINDOW_ATTN)
+    try:
+        hiera.USE_FUSED_BLOCK = False
+        hiera.USE_FUSED_WINDOW_ATTN = False
+        legacy = hiera.apply(params, cfg, x)
+        hiera.USE_FUSED_BLOCK = True
+        fused = hiera.apply(params, cfg, x)
+    finally:
+        hiera.USE_FUSED_BLOCK, hiera.USE_FUSED_WINDOW_ATTN = prev
+    for a, b in zip(fused, legacy):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)

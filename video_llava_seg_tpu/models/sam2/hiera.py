@@ -216,12 +216,12 @@ def apply(params, cfg: HieraConfig, x, interpret: bool = False,
     for i, (blk, (din, dout, heads, ws, has_pool)) in enumerate(
             zip(params["blocks"], dims)):
         q_stride = cfg.q_stride if has_pool else None
-        if (USE_FUSED_BLOCK and ws > 0
+        if (USE_FUSED_BLOCK
                 and hiera_block_supported(x.shape[1], x.shape[2], ws,
                                           q_stride[0] if q_stride else 1)):
-            # hottest path: the WHOLE block (LN1 -> qkv -> window SDPA ->
-            # proj -> residual -> LN2 -> MLP) in one Pallas pass — one HBM
-            # read + one write of the token map per block, weights
+            # hottest path: the WHOLE block (LN1 -> qkv -> window/global
+            # SDPA -> proj -> residual -> LN2 -> MLP) in one Pallas pass —
+            # one HBM read + one write of the token map per block, weights
             # VMEM-resident, no inter-block relayout copies
             x = hiera_block(blk, x, num_heads=heads, ws=ws,
                             q_stride=q_stride, eps=_LN_EPS,

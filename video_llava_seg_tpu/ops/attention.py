@@ -195,7 +195,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
 def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
                          scale: float, causal: bool, block_q: int,
                          q_offset: int, sum_col: int = -1,
-                         save_lse: bool = False):
+                         save_lse: bool = False, hs: int = 1):
     """One-kv-block fast path: plain softmax per q block, no online stats.
 
     KV padding is handled by an additive bias row [1, skv_p] (0 / -inf),
@@ -205,32 +205,47 @@ def _flash_kernel_single(q_ref, k_ref, v_ref, bias_ref, o_ref, *rest,
 
     sum_col >= 0: the head dim is padded and v carries a ones-column at
     that index, so the softmax denominator rides the p@v matmul (MXU)
-    instead of a VPU row reduction."""
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[0]
-    if causal:
-        iq = pl.program_id(2)
-        row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-               + iq * block_q + q_offset)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col <= row, s, _MASK_VALUE)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    v = v_ref[0, 0]
-    acc = jax.lax.dot(p.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32)
-    if sum_col >= 0:
-        l = acc[:, sum_col:sum_col + 1]
+    instead of a VPU row reduction.
+
+    hs > 1: the tile spans `hs` heads and an in-kernel fori_loop walks
+    them — the ViT regime dispatched B*Hq*1 tiny grid steps (2048 at
+    [128,16,577,64]) whose fixed per-step cost dominated; batching heads
+    amortizes it and issues fewer, wider k/v DMAs. fori_loop, not a
+    Python loop, so the fp32 score tile's stack is reused per head."""
+    # program_id must be read OUTSIDE the fori body (lowering bug)
+    iq = pl.program_id(2) if causal else 0
+
+    def one_head(j, carry):
+        q = q_ref[0, j]
+        k = k_ref[0, j]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0]
+        if causal:
+            row = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                   + iq * block_q + q_offset)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col <= row, s, _MASK_VALUE)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        v = v_ref[0, j]
+        acc = jax.lax.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+        if sum_col >= 0:
+            l = acc[:, sum_col:sum_col + 1]
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
+        o_ref[0, j] = (acc * (1.0 / l)).astype(o_ref.dtype)
+        if save_lse:
+            (lse_ref,) = rest
+            lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l))
+            lse_ref[0, j] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        return carry
+
+    if hs == 1:
+        one_head(0, 0)
     else:
-        l = jnp.sum(p, axis=1, keepdims=True)
-    o_ref[0, 0] = (acc * (1.0 / l)).astype(o_ref.dtype)
-    if save_lse:
-        (lse_ref,) = rest
-        lse = jnp.where(l == 0.0, 0.0, m + jnp.log(l))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        jax.lax.fori_loop(0, hs, one_head, 0)
 
 
 def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
@@ -246,6 +261,14 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
     Hkv = k.shape[1]
     group = Hq // Hkv
     num_q_blocks = sq_p // block_q
+    # heads per grid step: MHA only (GQA keeps the h//g kv index map),
+    # bounded so hs * (q + k + v) tiles stay ~<= 6 MiB
+    hs = 1
+    if group == 1:
+        tile = (block_q * d_p + 2 * skv_p * d_p) * q.dtype.itemsize
+        hs = max(1, min(Hq, (6 << 20) // max(1, tile)))
+        while Hq % hs:
+            hs -= 1
     pad_bias = jnp.where(jnp.arange(skv_p)[None, :] < kv_len, 0.0,
                          _MASK_VALUE).astype(jnp.float32)
     if kv_bias is not None:
@@ -257,23 +280,24 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
         bias_index = lambda b, h, iq: (0, 0, 0)  # noqa: E731
     kernel = functools.partial(
         _flash_kernel_single, scale=scale, causal=causal, block_q=block_q,
-        q_offset=q_offset, sum_col=sum_col, save_lse=save_lse)
+        q_offset=q_offset, sum_col=sum_col, save_lse=save_lse, hs=hs)
     out_shape = [jax.ShapeDtypeStruct((B, Hq, sq_p, d_p), q.dtype)]
-    out_specs = [pl.BlockSpec((1, 1, block_q, d_p),
+    out_specs = [pl.BlockSpec((1, hs, block_q, d_p),
                               lambda b, h, iq: (b, h, iq, 0))]
     if save_lse:
         out_shape.append(
             jax.ShapeDtypeStruct((B, Hq, sq_p, _LANES), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, block_q, _LANES),
+        out_specs.append(pl.BlockSpec((1, hs, block_q, _LANES),
                                       lambda b, h, iq: (b, h, iq, 0)))
     res = pl.pallas_call(
         kernel,
-        grid=(B, Hq, num_q_blocks),
+        grid=(B, Hq // hs, num_q_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d_p), lambda b, h, iq: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, skv_p, d_p),
+            pl.BlockSpec((1, hs, block_q, d_p),
+                         lambda b, h, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, hs if group == 1 else 1, skv_p, d_p),
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
-            pl.BlockSpec((1, 1, skv_p, d_p),
+            pl.BlockSpec((1, hs if group == 1 else 1, skv_p, d_p),
                          lambda b, h, iq, g=group: (b, h // g, 0, 0)),
             # bias rides as [B, 1, skv_p]: a (1, block) spec on a 2-D
             # array is only legal when B == 1 (Mosaic requires the
@@ -284,6 +308,7 @@ def _flash_single_block(q, k, v, *, causal, scale, block_q, skv_p, kv_len,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=64 << 20,
         ),
         interpret=interpret,
     )(q, k, v, bias[:, None])

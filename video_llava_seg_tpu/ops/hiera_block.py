@@ -22,9 +22,15 @@ GELU uses the Abramowitz-Stegun 7.1.26 erf approximation (|eps| <=
 exact at bf16 output precision.
 
 Layout contract mirrors ops/window_attention.py: NHWC maps, fused qkv
-[q|k|v] each [num_heads, head_dim]-major. Requires H % ws == 0 and
-W % ws == 0 (callers fall back to the unfused path otherwise) and even
-window sides (Mosaic transpose legality, pallas_window_legal).
+[q|k|v] each [num_heads, head_dim]-major. Non-window-divisible maps are
+zero-padded with a POST-norm validity mask (the reference pads the
+post-norm map, hieradet window_partition). Odd window sides (Mosaic
+transpose illegality: ws=7, and ws=14/ps=2 whose pooled side is 7) are
+stored GAP-PADDED at the next legal even side: the map is rearranged so
+every window occupies ss >= ws storage cells per axis (a contiguous
+reshape + pad, no transposes), gap keys are masked to -inf in the window
+softmax, and the gap cells are sliced back out of the output. This keeps
+every windowed block in every SAM2 Hiera variant on the fused path.
 
 Differentiable: the backward recomputes through the XLA oracle
 (hiera_block_xla) under jax.custom_vjp, the same recompute pattern as
@@ -71,11 +77,36 @@ def _ln_f32(x_f32, scale, bias, eps):
             * scale.astype(jnp.float32) + bias.astype(jnp.float32))
 
 
+def _mlp_tail(h1_ref, o_ref, ln2s, ln2b, w1, b1, w2, b2, *,
+              mlp_chunks: int, eps: float, wp: int, c: int, dtype):
+    """LN2 -> GELU MLP -> residual, row-chunked (fori_loop: one chunk's
+    fp32 transients on the stack, reused)."""
+    rows = h1_ref.shape[0] // mlp_chunks
+
+    def _back(ci, carry):
+        seg = h1_ref[pl.ds(ci * rows, rows)]
+        hn = _ln_f32(seg.astype(jnp.float32), ln2s[0], ln2b[0],
+                     eps).astype(dtype)
+        hh = jax.lax.dot_general(
+            hn.reshape(rows * wp, c), w1[...].astype(dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        hh = _gelu_f32(hh + b1[0].astype(jnp.float32)).astype(dtype)
+        mlp = jax.lax.dot_general(
+            hh, w2[...].astype(dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        mlp = (mlp + b2[0].astype(jnp.float32)).astype(dtype)
+        o_ref[0, pl.ds(ci * rows, rows)] = seg + mlp.reshape(rows, wp, c)
+        return carry
+
+    jax.lax.fori_loop(0, mlp_chunks, _back, 0)
+
+
 def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
                   ln2s, ln2b, w1, b1, w2, b2, *rest,
-                  ws: int, n_w: int, r: int, heads: int, hd: int,
+                  ws: int, ss: int, n_w: int, r: int, heads: int, hd: int,
                   scale: float, ps: int, eps: float, has_skip: bool,
-                  in_chunks: int, mlp_chunks: int):
+                  in_chunks: int, mlp_chunks: int, sdpa_chunks: int,
+                  true_h: int, true_w: int, padded: bool):
     """One (batch, row-group) tile of the full block.
 
     rest = ([wskip, bskip,] o_ref, qkv_buf[, sc_buf][, q_scratch]).
@@ -95,11 +126,13 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
     sc_buf = scratch[0] if (has_skip or ps > 1) else None
     q_scr = scratch[1] if ps > 1 else None
 
-    R, W = r * ws, n_w * ws
+    R, W = r * ss, n_w * ss
     cin = x_ref.shape[-1]
     c = heads * hd
-    q_ws = ws // ps
+    q_ss = ss // ps
     Rp, Wp = R // ps, W // ps
+    gapped = ws > 0 and ss != ws
+    global_attn = ws == 0
 
     # front end, row-chunked: LN1 -> qkv dense (+ shortcut projection).
     # lax.fori_loop, NOT a Python loop: an unrolled loop keeps every
@@ -107,11 +140,30 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
     # q-pool transition block hit 25.11M scoped vmem with 4 unrolled
     # chunks), while a real loop reuses one iteration's worth.
     rows_i = R // in_chunks
+    tile_row0 = pl.program_id(1) * R if (padded or gapped) else 0
 
     def _front(ci, carry):
         sl = pl.ds(ci * rows_i, rows_i)
         xf = x_ref[0, sl].astype(jnp.float32)
-        xn = _ln_f32(xf, ln1s[0], ln1b[0], eps).astype(x_ref.dtype)
+        xn_f = _ln_f32(xf, ln1s[0], ln1b[0], eps)
+        if padded or gapped:
+            # zero POST-norm pad tokens: the reference pads the
+            # post-norm map before qkv, so pad keys/values carry only
+            # the qkv bias (hieradet window_partition semantics).
+            # Gap-stored maps translate storage coords back to original
+            # coords (gap cells s >= ws are invalid by construction).
+            rr = (jax.lax.broadcasted_iota(jnp.int32, (rows_i, W, 1), 0)
+                  + (tile_row0 + ci * rows_i))
+            cc = jax.lax.broadcasted_iota(jnp.int32, (rows_i, W, 1), 1)
+            if gapped:
+                r_in, c_in = rr % ss, cc % ss
+                valid = ((r_in < ws) & (c_in < ws)
+                         & ((rr // ss) * ws + r_in < true_h)
+                         & ((cc // ss) * ws + c_in < true_w))
+            else:
+                valid = (rr < true_h) & (cc < true_w)
+            xn_f = jnp.where(valid, xn_f, 0.0)
+        xn = xn_f.astype(x_ref.dtype)
         qkv = jax.lax.dot_general(
             xn.reshape(rows_i * W, cin), wqkv[...].astype(xn.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -145,6 +197,62 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
     # per-head context never concatenates: attn = sum_h ctx_h @ Wproj[h]
     # (accumulated in an f32 VMEM scratch to keep it off the stack)
     attn_ref[...] = jnp.zeros((Rp * Wp, c), jnp.float32)
+
+    if global_attn:
+        # ws == 0: full-map attention (hieradet global_att_blocks). The
+        # whole map is one kv block per head; q is chunked over map rows
+        # (fori_loop) so the fp32 score tile stays a few MiB instead of
+        # HW x HW. No pooling / dim change on global blocks.
+        rows_q = R // sdpa_chunks
+
+        def _one_head_global(h):
+            k = qkv_buf[:, :, c + h * hd:c + (h + 1) * hd].reshape(
+                R * W, hd)
+            v = qkv_buf[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd].reshape(
+                R * W, hd)
+            wp_h = wproj[h * hd:(h + 1) * hd, :].astype(x_ref.dtype)
+
+            def _qchunk(ci, carry):
+                q = qkv_buf[pl.ds(ci * rows_q, rows_q), :,
+                            h * hd:(h + 1) * hd].reshape(rows_q * W, hd)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                ctx = jax.lax.dot_general(
+                    p.astype(x_ref.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sl = pl.ds(ci * rows_q * W, rows_q * W)
+                attn_ref[sl] = attn_ref[sl] + jax.lax.dot_general(
+                    ctx.astype(x_ref.dtype), wp_h,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return carry
+
+            jax.lax.fori_loop(0, sdpa_chunks, _qchunk, 0)
+
+        for h in range(heads):
+            _one_head_global(h)
+
+        base = x_ref[0]
+        h1_ref[...] = base + (attn_ref[...]
+                              + bproj[0].astype(jnp.float32)).astype(
+            x_ref.dtype).reshape(Rp, Wp, c)
+        _mlp_tail(h1_ref, o_ref, ln2s, ln2b, w1, b1, w2, b2,
+                  mlp_chunks=mlp_chunks, eps=eps, wp=Wp, c=c,
+                  dtype=x_ref.dtype)
+        return
+
+    key_gap = None
+    if gapped:
+        # gap cells (storage index >= ws per axis) are an artifact of the
+        # even-side storage layout — exclude them from every softmax
+        # (true out-of-range pad keys stay IN, as post-norm zeros, per
+        # the reference's unmasked padded-window attention)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ss * ss), 2)
+        key_gap = (kk // ss >= ws) | (kk % ss >= ws)
     for h in range(heads):
         q_map = qkv_buf[:, :, h * hd:(h + 1) * hd]
         if ps > 1:
@@ -153,20 +261,22 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
             # layout-reset round-trip (see window_attention._win_kernel)
             q_scr[...] = q_map
             q_map = q_scr[...]
-        q = to_windows(q_map, q_ws)
-        k = to_windows(qkv_buf[:, :, c + h * hd:c + (h + 1) * hd], ws)
+        q = to_windows(q_map, q_ss)
+        k = to_windows(qkv_buf[:, :, c + h * hd:c + (h + 1) * hd], ss)
         v = to_windows(qkv_buf[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd],
-                       ws)
+                       ss)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
+        if key_gap is not None:
+            s = jnp.where(key_gap, -1e30, s)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         ctx = jax.lax.dot_general(
             p.astype(x_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(r, n_w, q_ws, q_ws, hd)
+        ctx = ctx.reshape(r, n_w, q_ss, q_ss, hd)
         ctx = ctx.transpose(0, 2, 1, 3, 4).reshape(Rp * Wp, hd)
         attn_ref[...] = attn_ref[...] + jax.lax.dot_general(
             ctx.astype(x_ref.dtype),
@@ -177,27 +287,9 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
     h1_ref[...] = base + (attn_ref[...]
                           + bproj[0].astype(jnp.float32)).astype(
         x_ref.dtype).reshape(Rp, Wp, c)
-
-    # back end, row-chunked (fori_loop, same stack-reuse rationale):
-    # LN2 -> GELU MLP -> residual
-    rows = Rp // mlp_chunks
-
-    def _back(ci, carry):
-        seg = h1_ref[pl.ds(ci * rows, rows)]
-        hn = _ln_f32(seg.astype(jnp.float32), ln2s[0], ln2b[0],
-                     eps).astype(x_ref.dtype)
-        hh = jax.lax.dot_general(
-            hn.reshape(rows * Wp, c), w1[...].astype(x_ref.dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        hh = _gelu_f32(hh + b1[0].astype(jnp.float32)).astype(x_ref.dtype)
-        mlp = jax.lax.dot_general(
-            hh, w2[...].astype(x_ref.dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        mlp = (mlp + b2[0].astype(jnp.float32)).astype(x_ref.dtype)
-        o_ref[0, pl.ds(ci * rows, rows)] = seg + mlp.reshape(rows, Wp, c)
-        return carry
-
-    jax.lax.fori_loop(0, mlp_chunks, _back, 0)
+    _mlp_tail(h1_ref, o_ref, ln2s, ln2b, w1, b1, w2, b2,
+              mlp_chunks=mlp_chunks, eps=eps, wp=Wp, c=c,
+              dtype=x_ref.dtype)
 
 
 def _flat_weights(blk):
@@ -246,38 +338,70 @@ def _row_chunks(rows: int, wp: int, width: int, ps: int = 1,
     return chunks
 
 
+def _storage_side(ws: int, ps: int) -> int:
+    """Smallest even storage side >= ws that Mosaic can transpose (and
+    whose pooled side is also even). == ws when ws itself is legal."""
+    ss = ws
+    while ss % ps or not pallas_window_legal(ss, ps):
+        ss += 1
+    return ss
+
+
 def _hiera_block_pallas(x, weights, *, has_skip: bool, num_heads: int,
                         ws: int, ps: int, eps: float,
                         interpret: bool):
-    b, h, w, cin = x.shape
+    b, true_h, true_w, cin = x.shape
+    if ws > 0:
+        pad_h = (ws - true_h % ws) % ws
+        pad_w = (ws - true_w % ws) % ws
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        ss = _storage_side(ws, ps)
+        nh, nw = x.shape[1] // ws, x.shape[2] // ws
+        if ss != ws:
+            # gap-pad: every ws-window occupies an ss-sided storage cell.
+            # Contiguous reshapes around one pad op — no transposes.
+            x = x.reshape(b, nh, ws, nw, ws, cin)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, ss - ws),
+                            (0, 0), (0, ss - ws), (0, 0)))
+            x = x.reshape(b, nh * ss, nw * ss, cin)
+    else:
+        # global block: the whole (square) map is one attention group
+        pad_h = pad_w = 0
+        ss = true_h
+    h, w = x.shape[1], x.shape[2]
     wqkv = weights[2]
     c = wqkv.shape[1] // 3
     hd = c // num_heads
-    n_w = w // ws
-    n_wr = h // ws
-    r = _rows_per_block(n_wr, ws, w, 3 * c, x.dtype.itemsize)
-    rp, wp = r * ws // ps, w // ps
-    in_chunks = _row_chunks(r * ws, w, 3 * c, ps=ps)
+    n_w = w // ss
+    n_wr = h // ss
+    r = _rows_per_block(n_wr, ss, w, 3 * c, x.dtype.itemsize)
+    rp, wp = r * ss // ps, w // ps
+    in_chunks = _row_chunks(r * ss, w, 3 * c, ps=ps)
     mlp_chunks = _row_chunks(rp, wp, weights[8].shape[1])
+    # global-SDPA q chunking: keep the fp32 [rows_q*W, H*W] score tile
+    # a few MiB (6 MiB budget, same class as the window-path tiles)
+    sdpa_chunks = _row_chunks(h, w, h * w, budget=6 << 20) if ws == 0 else 1
     kernel = functools.partial(
-        _block_kernel, ws=ws, n_w=n_w, r=r, heads=num_heads, hd=hd,
+        _block_kernel, ws=ws, ss=ss, n_w=n_w, r=r, heads=num_heads, hd=hd,
         scale=1.0 / math.sqrt(hd), ps=ps, eps=eps, has_skip=has_skip,
-        in_chunks=in_chunks, mlp_chunks=mlp_chunks)
+        in_chunks=in_chunks, mlp_chunks=mlp_chunks, sdpa_chunks=sdpa_chunks,
+        true_h=true_h, true_w=true_w, padded=bool(pad_h or pad_w))
 
     full = lambda t: pl.BlockSpec(t.shape, lambda bb, rr: (0,) * t.ndim,
                                   memory_space=pltpu.VMEM)
-    in_specs = [pl.BlockSpec((1, r * ws, w, cin),
+    in_specs = [pl.BlockSpec((1, r * ss, w, cin),
                              lambda bb, rr: (bb, rr, 0, 0),
                              memory_space=pltpu.VMEM)]
     in_specs += [full(t) for t in weights]
-    scratch = [pltpu.VMEM((r * ws, w, 3 * c), x.dtype),    # qkv map
+    scratch = [pltpu.VMEM((r * ss, w, 3 * c), x.dtype),    # qkv map
                pltpu.VMEM((rp * wp, c), jnp.float32),      # attn accum
                pltpu.VMEM((rp, wp, c), x.dtype)]           # h1 residual
     if has_skip or ps > 1:
         scratch.append(pltpu.VMEM((rp, wp, c), x.dtype))   # shortcut map
     if ps > 1:
         scratch.append(pltpu.VMEM((rp, wp, hd), x.dtype))  # pooled q
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b, n_wr // r),
         scratch_shapes=scratch,
@@ -295,6 +419,14 @@ def _hiera_block_pallas(x, weights, *, has_skip: bool, num_heads: int,
         ),
         interpret=interpret,
     )(x, *weights)
+    if ws > 0 and ss != ws:
+        q_ss, qv = ss // ps, ws // ps
+        out = out.reshape(b, nh, q_ss, nw, q_ss, c)[:, :, :qv, :, :qv]
+        out = out.reshape(b, nh * qv, nw * qv, c)
+    oh, ow = true_h // ps, true_w // ps
+    if out.shape[1] != oh or out.shape[2] != ow:
+        out = out[:, :oh, :ow]
+    return out
 
 
 def hiera_block_xla(blk, x, *, num_heads: int, ws: int,
@@ -304,6 +436,7 @@ def hiera_block_xla(blk, x, *, num_heads: int, ws: int,
     from video_llava_seg_tpu.ops import nn
 
     ps = q_stride[0] if q_stride is not None else 1
+    b, h, w, _ = x.shape
     xn = nn.layer_norm(blk["norm1"], x, eps)
     if "proj" in blk:
         shortcut = nn.dense(blk["proj"], xn)
@@ -312,10 +445,21 @@ def hiera_block_xla(blk, x, *, num_heads: int, ws: int,
     if ps > 1:
         from video_llava_seg_tpu.models.sam2.hiera import _max_pool_2x2
         shortcut = _max_pool_2x2(shortcut, q_stride)
+    if ws == 0:
+        # global block == one window spanning the whole map
+        ws = h
+        assert w == h and ps == 1
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    if pad_h or pad_w:
+        # POST-norm zero padding, matching hieradet's window_partition
+        xn = jnp.pad(xn, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     qkv = nn.dense(blk["qkv"], xn)
     hd = (qkv.shape[-1] // 3) // num_heads
     o = window_attention_xla(qkv, num_heads=num_heads, ws=ws,
                              scale=1.0 / math.sqrt(hd), ps=ps)
+    if o.shape[1] != h // ps or o.shape[2] != w // ps:
+        o = o[:, :h // ps, :w // ps]
     h1 = shortcut + nn.dense(blk["proj_attn"], o)
     return h1 + nn.mlp_apply(blk["mlp"],
                              nn.layer_norm(blk["norm2"], h1, eps),
@@ -365,10 +509,16 @@ _hb.defvjp(_hb_fwd, _hb_bwd)
 
 
 def hiera_block_supported(h: int, w: int, ws: int, ps: int) -> bool:
-    """Kernel legality: window-divisible map (padding would change LN
-    semantics — the reference pads POST-norm) and Mosaic-even windows."""
-    return (ws > 0 and h % ws == 0 and w % ws == 0
-            and pallas_window_legal(ws, ps))
+    """Kernel legality. Non-divisible maps are padded in-kernel with a
+    POST-norm validity mask (matching the reference's post-norm zero
+    padding); Mosaic-odd window sides are stored gap-padded at the next
+    legal even side; ws == 0 (global attention) runs a q-chunked full-map
+    SDPA for square, 8-aligned, unpooled maps. Windowed requirement: the
+    pool stride must divide the window so 2x2 pooling never mixes valid
+    and gap cells."""
+    if ws == 0:
+        return h == w and h % 8 == 0 and ps == 1
+    return ws % ps == 0
 
 
 def hiera_block(blk, x, *, num_heads: int, ws: int,

@@ -95,14 +95,18 @@ def _vmem_estimate(r: int, cw: int, *, ws: int, c3: int, c: int, heads: int,
     """Scoped-VMEM bytes the kernel needs for an (r window-rows x cw
     window-cols) tile.
 
-    Calibrated against Mosaic's reported stack usage on v5e: the
-    hiera-large stage-4-transition block (heads=16, hd=72, ws=8, ps=2,
-    C=1152, full-width 8x8-window tile) reports 18.14 MiB; this model
-    gives 17.5 MiB for that point, so the caller budgets with margin.
-    Dominant terms: the double-buffered input DMA tile and the per-head
-    q/k/v/score temporaries of the unrolled head loop, with hd padded to
-    the 128-lane minor dim (hd=72 -> 128 costs 1.78x on every per-head
-    buffer)."""
+    Calibrated against Mosaic on v5e (scripts/probe_window_vmem.py):
+
+    - ps=1 kernels: Mosaic reuses the stack across the unrolled head
+      loop — probes with a full-heads estimate of 40-165 MiB compile
+      fine (ws14/c448/h8 full-width, ws16/c576/h8 r=2 cw=8). Only ~2
+      heads' temporaries are ever live, so count 2.
+    - ps>1 (q-pool) kernels: the VMEM-scratch layout-reset round-trip
+      defeats that reuse — the hiera-large stage-4 transition (heads=16,
+      hd=72, ws=8, ps=2, C=1152, full-width) hits Mosaic's 16 MiB stack
+      limit at a reported 18.14 MiB, matching the full heads x per-head
+      sum (17.5 MiB here). Count all heads.
+    """
     tile_r, tile_c = r * ws, cw * ws
     tok, qtok = ws * ws, (ws // ps) ** 2
     hdp = _ceil_to(hd, 128)
@@ -112,9 +116,10 @@ def _vmem_estimate(r: int, cw: int, *, ws: int, c3: int, c: int, heads: int,
     per_win = (2 * tok8 * hdp * itemsize      # k, v window tiles
                + 3 * qtok8 * hdp * 4          # q, ctx (+1 copy), f32
                + 2 * qtok8 * tokp * 4)        # scores, probs, f32
+    heads_live = heads if ps > 1 else min(heads, 2)
     return (2 * tile_r * tile_c * c3 * itemsize       # double-buffered in
             + 2 * (tile_r // ps) * (tile_c // ps) * c * itemsize  # out
-            + heads * wins * per_win
+            + heads_live * wins * per_win
             + 3 * tile_r * tile_c * hdp * itemsize)   # map-level temps
 
 
