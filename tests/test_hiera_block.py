@@ -117,6 +117,22 @@ def test_supported_gate():
     assert not hiera_block_supported(64, 64, 0, 2)    # global + q-pool
 
 
+def test_every_variant_block_fused_at_1024():
+    """All four SAM2 Hiera variants: every block (windowed, padded, odd
+    window, q-pool transition, global) must be megakernel-eligible at the
+    1024^2 serving size — no XLA fallbacks left in the trunk."""
+    from video_llava_seg_tpu.models.sam2.config import _HIERA_VARIANTS
+    from video_llava_seg_tpu.models.sam2.hiera import _block_dims
+
+    for variant, cfg in _HIERA_VARIANTS.items():
+        h = w = 1024 // cfg.patch_stride
+        for i, (din, dout, heads, ws, has_pool) in enumerate(
+                _block_dims(cfg)):
+            ps = cfg.q_stride[0] if has_pool else 1
+            assert hiera_block_supported(h, w, ws, ps), (variant, i, ws, ps)
+            h, w = h // ps, w // ps
+
+
 def test_mlp_chunking_paths():
     """Force multi-chunk MLP (rows split) and verify parity."""
     from video_llava_seg_tpu.ops import hiera_block as hb
