@@ -80,19 +80,26 @@ def test_oracle_matches_legacy_apply():
                                    atol=2e-5, rtol=2e-5)
 
 
-def test_backward_matches_oracle_grad():
-    din, dout, heads, ws, ps = 32, 64, 2, 4, 2
-    blk = make_block(jax.random.PRNGKey(2), din, dout, with_proj=True)
-    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, din))
+@pytest.mark.parametrize("shape,heads,ws,ps,proj", [
+    ((1, 8, 8, 32), 2, 4, 2, True),        # even windows + q-pool
+    ((1, 14, 14, 32), 2, 7, 1, False),     # gap-stored odd window
+    ((1, 8, 8, 32), 2, 0, 1, False),       # global attention
+])
+def test_backward_matches_oracle_grad(shape, heads, ws, ps, proj):
+    din = shape[-1]
+    dout = din * 2 if proj else din
+    blk = make_block(jax.random.PRNGKey(2), din, dout, with_proj=proj)
+    x = jax.random.normal(jax.random.PRNGKey(3), shape)
+    q_stride = (ps, ps) if ps > 1 else None
 
     def loss_k(x, blk):
-        y = hiera_block(blk, x, num_heads=heads, ws=ws, q_stride=(ps, ps),
+        y = hiera_block(blk, x, num_heads=heads, ws=ws, q_stride=q_stride,
                         eps=1e-6, backend="pallas", interpret=True)
         return jnp.sum(y * y)
 
     def loss_o(x, blk):
         y = hiera_block_xla(blk, x, num_heads=heads, ws=ws,
-                            q_stride=(ps, ps), eps=1e-6)
+                            q_stride=q_stride, eps=1e-6)
         return jnp.sum(y * y)
 
     gx_k, gb_k = jax.grad(loss_k, argnums=(0, 1))(x, blk)
