@@ -199,39 +199,49 @@ def bench_sam2_image():
 # config 2 — SAM2 video propagation
 # ---------------------------------------------------------------------------
 
-def bench_sam2_video(variant="large", n_frames=16, hw=(480, 854)):
+def bench_sam2_video(variants=("large", "tiny"), n_frames=16,
+                     hw=(480, 854)):
+    """Config 2: headline = hiera-large fps; hiera-tiny reported
+    alongside (the upstream ~27 fps GPU comment is for a smaller 768^2
+    model; both variants here run the full 1024^2 serving size)."""
+    import jax
     import numpy as np
 
     from video_llava_seg_tpu.models.sam2.build import (
         build_sam2_video_predictor,
     )
 
-    pred = build_sam2_video_predictor(variant)
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (n_frames, hw[0], hw[1], 3), np.uint8)
+    fps = {}
+    for variant in variants:
+        pred = build_sam2_video_predictor(variant)
 
-    def run():
-        import jax
+        def run():
+            state = pred.init_state(frames)
+            pred.add_new_points_or_box(
+                state, frame_idx=0, obj_id=1,
+                points=np.asarray([[hw[1] / 2, hw[0] / 2]], np.float32),
+                labels=np.asarray([1], np.int32))
+            t0 = time.time()
+            # yields are device-resident (reference parity: GPU tensors);
+            # sync all frames' masks once at the end of the clip
+            masks = [m for _f, _i, m in pred.propagate_in_video(state)]
+            jax.block_until_ready(masks)
+            return (time.time() - t0) / len(masks)
 
-        state = pred.init_state(frames)
-        pred.add_new_points_or_box(
-            state, frame_idx=0, obj_id=1,
-            points=np.asarray([[hw[1] / 2, hw[0] / 2]], np.float32),
-            labels=np.asarray([1], np.int32))
-        t0 = time.time()
-        # yields are device-resident (reference parity: GPU tensors);
-        # sync all frames' masks once at the end of the clip
-        masks = [m for _fidx, _ids, m in pred.propagate_in_video(state)]
-        jax.block_until_ready(masks)
-        return (time.time() - t0) / len(masks)
+        run()                          # compile + warmup
+        fps[variant] = round(1.0 / min(run() for _ in range(2)), 2)
+        del pred
+        jax.clear_caches()
 
-    run()                              # compile + warmup
-    per_frame = min(run() for _ in range(2))
+    head = variants[0]
     return {
         "config": 2, "metric": "sam2_video_propagation_fps",
-        "value": round(1.0 / per_frame, 2), "unit": "frames/s",
-        "variant": f"hiera-{variant}@{hw[0]}p", "n_frames": n_frames,
+        "value": fps[head], "unit": "frames/s",
+        "variant": f"hiera-{head}@{hw[0]}p", "n_frames": n_frames,
         "upstream_gpu_reference_fps": 27,
+        **{f"hiera_{v}_fps": fps[v] for v in variants[1:]},
     }
 
 
@@ -466,13 +476,17 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         tokens, hidden, n = caption(params, vdev, tids, gidx,
                                     jnp.bfloat16(salt))
         int(jax.device_get(n))
+        t1 = time.time()
         s, _shape = seg(params, fdev, seg_hidden, jnp.bfloat16(salt))
         float(s)
-        return time.time() - t0
+        t2 = time.time()
+        return t2 - t0, t2 - t1
 
     once(0.0)                          # compile + warmup
-    times = sorted(once(i * 1e-3) for i in range(1, 8))
+    rows = [once(i * 1e-3) for i in range(1, 8)]
+    times = sorted(t for t, _ in rows)
     p50 = times[len(times) // 2]
+    seg_s = sorted(t for _, t in rows)[len(rows) // 2]
     full = n_llm_layers == full_layers
     unit = ("s (16-frame clip, full-depth int8 LLM)" if full and llm_int8
             else f"s (16-frame clip, {n_llm_layers}-layer slice LLM)")
@@ -482,6 +496,10 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         "vs_baseline": round(1.5 / p50, 3),
         "n_llm_layers": n_llm_layers, "llm_int8": llm_int8,
         "decode_tokens": decode_tokens,
+        # SAM2 seg-head share (SURVEY §6 first-measurement list): encode
+        # + decode of max_seg_frames 1024^2 frames, per frame
+        "seg_head_ms_per_frame": round(
+            1e3 * seg_s / cfg.seg.max_seg_frames, 2),
     }
     if full:
         out["note"] = ("MEASURED at full 32-layer depth (W8A8 int8 LLM, "
