@@ -27,6 +27,7 @@ def _rand_qkv(key, B, Hq, Hkv, Sq, Skv, D, dtype=jnp.float32):
         (2, 4, 2, 256, 256, 32),     # GQA
         (1, 2, 2, 100, 100, 96),     # unaligned seq + head dim (Hiera-like)
         (1, 1, 1, 64, 320, 128),     # cross-attn, ragged kv (memory attn)
+        (2, 16, 16, 577, 577, 64),   # ViT regime: heads batch per grid step
     ],
 )
 def test_flash_matches_reference(rng, causal, B, Hq, Hkv, Sq, Skv, D):
