@@ -220,8 +220,50 @@ def check_hiera_megakernel():
 
 
 
+def check_vit_megakernel():
+    """Fused ViT encoder layer (Mosaic-compiled) vs the XLA oracle at the
+    CLIP-L serving shape class (577 tokens padded to 584, D=1024, 16
+    heads) — interpret mode cannot Mosaic-verify the token-axis chunk
+    collapses."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_llava_seg_tpu.ops import nn
+    from video_llava_seg_tpu.ops.vit_block import (
+        _xla_quick_gelu,
+        vit_layer,
+        vit_layer_xla,
+    )
+
+    d, dff, heads, kv, sp, bt = 1024, 4096, 16, 577, 584, 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    p = {
+        "layer_norm1": nn.layer_norm_init(d, jnp.bfloat16),
+        "q_proj": nn.dense_init(ks[0], d, d, dtype=jnp.bfloat16),
+        "k_proj": nn.dense_init(ks[1], d, d, dtype=jnp.bfloat16),
+        "v_proj": nn.dense_init(ks[2], d, d, dtype=jnp.bfloat16),
+        "out_proj": nn.dense_init(ks[3], d, d, dtype=jnp.bfloat16),
+        "layer_norm2": nn.layer_norm_init(d, jnp.bfloat16),
+        "fc1": nn.dense_init(ks[4], d, dff, dtype=jnp.bfloat16),
+        "fc2": nn.dense_init(ks[5], dff, d, dtype=jnp.bfloat16),
+    }
+    x = jax.random.normal(ks[6], (bt, sp, d), jnp.bfloat16)
+    got = jax.jit(lambda x, p: vit_layer(
+        p, x, num_heads=heads, eps=1e-5, kv_len=kv,
+        backend="pallas"))(x, p)
+    want = jax.jit(lambda x, p: vit_layer_xla(
+        p, x, num_heads=heads, eps=1e-5, kv_len=kv,
+        act=_xla_quick_gelu))(x, p)
+    g = np.asarray(got[:, :kv].astype(jnp.float32))
+    w = np.asarray(want[:, :kv].astype(jnp.float32))
+    rel = np.abs(g - w).max() / (np.std(w) + 1e-9)
+    assert rel < 0.15, rel
+    print(f"  vit_layer ok ({bt}x{sp}x{d} h{heads}): max rel {rel:.4f}")
+
+
 if __name__ == "__main__":
     check_flash_grads()
     check_hiera_megakernel()
+    check_vit_megakernel()
     check_train_step()
     print("TPU smoke: ALL OK")

@@ -23,6 +23,11 @@ from video_llava_seg_tpu.ops.attention import attention
 from video_llava_seg_tpu.ops.resize import interpolate
 
 
+# whole-layer Pallas megakernel on TPU (ops/vit_block.py); False = the
+# per-op XLA composition with the flash-attention custom call
+USE_FUSED_VIT_BLOCK = True
+
+
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
@@ -152,9 +157,35 @@ def apply(params, cfg: VisionTowerConfig, images, interpret: bool = False):
     n_run = cfg.num_layers + cfg.select_layer + 1 if cfg.select_layer < 0 \
         else cfg.select_layer
     n_run = max(0, min(n_run, cfg.num_layers))
-    for layer in params["layers"][:n_run]:
-        x = _encoder_layer(layer, x, cfg.num_heads, cfg.layernorm_eps, act,
-                           interpret)
+
+    from video_llava_seg_tpu.ops.attention import _on_tpu
+    from video_llava_seg_tpu.ops.vit_block import (
+        vit_layer,
+        vit_layer_supported,
+    )
+    n_tok = x.shape[1]
+    sp = -(-n_tok // 8) * 8
+    fused = (USE_FUSED_VIT_BLOCK and (_on_tpu() or interpret)
+             and vit_layer_supported(sp, x.shape[-1], cfg.num_heads))
+    if fused:
+        # whole-layer Pallas megakernel: pad tokens to the 8-aligned
+        # storage count ONCE for the whole tower (pad keys masked in the
+        # kernel's softmax; everything else is token-local) and slice off
+        # after the tap
+        if sp != n_tok:
+            x = jnp.pad(x, ((0, 0), (0, sp - n_tok), (0, 0)))
+        act_kind = "quick_gelu" if not cfg.is_radio else "gelu"
+        for layer in params["layers"][:n_run]:
+            x = vit_layer(layer, x, num_heads=cfg.num_heads,
+                          eps=cfg.layernorm_eps, kv_len=n_tok,
+                          act=act_kind, backend="pallas",
+                          interpret=interpret)
+        if sp != n_tok:
+            x = x[:, :n_tok]
+    else:
+        for layer in params["layers"][:n_run]:
+            x = _encoder_layer(layer, x, cfg.num_heads, cfg.layernorm_eps,
+                               act, interpret)
     if cfg.final_norm:
         # RADIO spatial features are final-norm'd (timm forward_features)
         x = nn.layer_norm(params["post_layernorm"], x, cfg.layernorm_eps)

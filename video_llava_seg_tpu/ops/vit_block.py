@@ -1,0 +1,311 @@
+"""Fully-fused ViT encoder layer for TPU (CLIP / RADIO towers).
+
+One Pallas pass per transformer layer: LN1 -> q/k/v denses -> per-frame
+SDPA -> out projection -> residual -> LN2 -> activation MLP -> residual.
+TPU-native replacement for the reference encoder layer
+(HF CLIPEncoderLayer used via llava/model/multimodal_encoder/
+clip_encoder.py:11-138), which runs as ~10 separate kernels.
+
+Why (measured on v5e, BENCH_NOTES.md "ViT encode decomposition"): at the
+serving shape [128 frames, 577, 1024] the unfused tower spends 306 ms of
+a 585 ms encode in the attention region (relayouts around the flash
+custom call + fixed per-call overhead) and ~22 ms in LayerNorms, against
+a ~320 ms MXU floor for the denses. Per-layer weights are 24 MB at
+CLIP-L dims and sit whole in VMEM; each layer then costs one HBM read +
+one write of the token batch.
+
+Layout contract: tokens padded to a multiple of 8 (Mosaic sublane) by
+the caller ONCE for the whole tower — `kv_len` masks pad keys with -inf
+inside the softmax; pad queries produce garbage that never contaminates
+real tokens (LN/MLP are token-local) and the caller slices them off
+after the last layer.
+
+Differentiable: backward recomputes through the XLA oracle under
+jax.custom_vjp (same pattern as ops/hiera_block.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_llava_seg_tpu.ops.hiera_block import (
+    _gelu_f32,
+    _ln_f32,
+    _row_chunks,
+)
+
+_MASK = -1e30
+
+
+def _quick_gelu_f32(x):
+    """CLIP's quick_gelu: x * sigmoid(1.702 x) (f32)."""
+    return x * (1.0 / (1.0 + jnp.exp(-1.702 * x)))
+
+
+_ACTS = {"quick_gelu": _quick_gelu_f32, "gelu": _gelu_f32}
+
+
+def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+                ln2s, ln2b, w1, b1, w2, b2, o_ref, qkv_buf, attn_ref,
+                h1_ref, *, heads: int, hd: int, scale: float, eps: float,
+                kv_len: int, act: str, in_chunks: int, mlp_chunks: int):
+    """One tile of `fb` frames x `sp` (8-aligned) tokens x D channels.
+
+    Chunking runs along the TOKEN axis (multiples of 8) so every
+    flattened (frames*tokens, D) view collapses cleanly onto the (8,128)
+    vector tiles. fori_loop chunks: one iteration's fp32 transients on
+    the Mosaic stack, reused."""
+    fb, sp, d = x_ref.shape
+    c = heads * hd
+    t_i = sp // in_chunks
+    act_f = _ACTS[act]
+
+    # front end: LN1 -> q/k/v denses into the qkv scratch [fb, sp, 3c]
+    def _front(ci, carry):
+        sl = pl.ds(ci * t_i, t_i)
+        xf = x_ref[:, sl].astype(jnp.float32)
+        xn = _ln_f32(xf, ln1s[0], ln1b[0], eps).astype(x_ref.dtype)
+        xn = xn.reshape(fb * t_i, d)
+        for j, (w, bias) in enumerate(((wq, bq), (wk, bk), (wv, bv))):
+            y = jax.lax.dot_general(
+                xn, w[...].astype(xn.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = (y + bias[0].astype(jnp.float32)).astype(x_ref.dtype)
+            qkv_buf[:, sl, pl.ds(j * c, c)] = y.reshape(fb, t_i, c)
+        return carry
+
+    jax.lax.fori_loop(0, in_chunks, _front, 0)
+
+    # key-padding mask: tokens at index >= kv_len are caller padding
+    key_pad = None
+    if kv_len < sp:
+        kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
+        key_pad = kk >= kv_len
+
+    # per-head, frame-batched SDPA; heads fold into the out projection:
+    # attn = sum_h ctx_h @ Wo[h] accumulated in the f32 VMEM scratch
+    attn_ref[...] = jnp.zeros((fb, sp, c), jnp.float32)
+    for h in range(heads):
+        q = qkv_buf[:, :, h * hd:(h + 1) * hd]
+        k = qkv_buf[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv_buf[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if key_pad is not None:
+            s = jnp.where(key_pad, _MASK, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(x_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        proj = jax.lax.dot_general(
+            ctx.astype(x_ref.dtype).reshape(fb * sp, hd),
+            wo[h * hd:(h + 1) * hd, :].astype(x_ref.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        attn_ref[...] = attn_ref[...] + proj.reshape(fb, sp, c)
+
+    h1_ref[...] = x_ref[...] + (attn_ref[...]
+                                + bo[0].astype(jnp.float32)).astype(
+        x_ref.dtype)
+
+    # back end: LN2 -> activation MLP -> residual
+    t_m = sp // mlp_chunks
+
+    def _back(ci, carry):
+        sl = pl.ds(ci * t_m, t_m)
+        seg = h1_ref[:, sl]
+        hn = _ln_f32(seg.astype(jnp.float32), ln2s[0], ln2b[0],
+                     eps).astype(x_ref.dtype)
+        hh = jax.lax.dot_general(
+            hn.reshape(fb * t_m, d), w1[...].astype(x_ref.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        hh = act_f(hh + b1[0].astype(jnp.float32)).astype(x_ref.dtype)
+        mlp = jax.lax.dot_general(
+            hh, w2[...].astype(x_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mlp = (mlp + b2[0].astype(jnp.float32)).astype(x_ref.dtype)
+        o_ref[:, sl] = seg + mlp.reshape(fb, t_m, d)
+        return carry
+
+    jax.lax.fori_loop(0, mlp_chunks, _back, 0)
+
+
+def _flat_weights(p):
+    def vec(v):
+        return v.reshape(1, -1)
+
+    return [vec(p["layer_norm1"]["scale"]), vec(p["layer_norm1"]["bias"]),
+            p["q_proj"]["kernel"], vec(p["q_proj"]["bias"]),
+            p["k_proj"]["kernel"], vec(p["k_proj"]["bias"]),
+            p["v_proj"]["kernel"], vec(p["v_proj"]["bias"]),
+            p["out_proj"]["kernel"], vec(p["out_proj"]["bias"]),
+            vec(p["layer_norm2"]["scale"]), vec(p["layer_norm2"]["bias"]),
+            p["fc1"]["kernel"], vec(p["fc1"]["bias"]),
+            p["fc2"]["kernel"], vec(p["fc2"]["bias"])]
+
+
+def _frames_per_step(bt: int, sp: int, d: int, dff: int,
+                     itemsize: int) -> int:
+    """Largest divisor of bt whose per-step VMEM stays ~<= 60 MiB beyond
+    the resident weights (x in/out double-buffered + qkv + h1 + f32 attn
+    accum + the ~2 live per-head fp32 score tiles)."""
+    budget = 60 << 20
+    per_frame = (sp * d * itemsize * (2 * 2 + 1)      # x (dbuf), out, h1
+                 + sp * 3 * d * itemsize              # qkv scratch
+                 + sp * d * 4                         # attn accum f32
+                 + 2 * sp * sp * 4)                   # live score tiles
+    fb = max(1, min(bt, budget // max(1, per_frame)))
+    while bt % fb:
+        fb -= 1
+    return fb
+
+
+def _vit_layer_pallas(x, weights, *, num_heads: int, eps: float,
+                      kv_len: int, act: str, interpret: bool):
+    bt, sp, d = x.shape
+    hd = d // num_heads
+    dff = weights[12].shape[1]
+    fb = _frames_per_step(bt, sp, d, dff, x.dtype.itemsize)
+    # token-axis chunking, multiples of 8 (clean (8,128)-tile collapse)
+    in_chunks = _row_chunks(sp, fb, 3 * d, ps=8)
+    mlp_chunks = _row_chunks(sp, fb, dff, ps=8)
+    kernel = functools.partial(
+        _vit_kernel, heads=num_heads, hd=hd, scale=1.0 / math.sqrt(hd),
+        eps=eps, kv_len=kv_len, act=act, in_chunks=in_chunks,
+        mlp_chunks=mlp_chunks)
+
+    full = lambda t: pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bt // fb,),
+        in_specs=[pl.BlockSpec((fb, sp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(t) for t in weights],
+        out_specs=pl.BlockSpec((fb, sp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, sp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((fb, sp, 3 * d), x.dtype),
+                        pltpu.VMEM((fb, sp, d), jnp.float32),
+                        pltpu.VMEM((fb, sp, d), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )(x, *weights)
+
+
+def vit_layer_xla(p, x, *, num_heads: int, eps: float, kv_len: int, act):
+    """XLA oracle with identical semantics (also the backward source)."""
+    from video_llava_seg_tpu.ops import nn
+
+    residual = x
+    h = nn.layer_norm(p["layer_norm1"], x, eps)
+    b, n, d = h.shape
+    hd = d // num_heads
+    q = nn.dense(p["q_proj"], h).reshape(b, n, num_heads, hd)
+    k = nn.dense(p["k_proj"], h).reshape(b, n, num_heads, hd)
+    v = nn.dense(p["v_proj"], h).reshape(b, n, num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    s = s / math.sqrt(hd)
+    if kv_len < n:
+        s = jnp.where(jnp.arange(n)[None, None, None, :] >= kv_len,
+                      _MASK, s)
+    p_att = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p_att, v).reshape(b, n, d)
+    x = residual + nn.dense(p["out_proj"], o)
+    residual = x
+    h = nn.layer_norm(p["layer_norm2"], x, eps)
+    h = nn.dense(p["fc2"], act(nn.dense(p["fc1"], h)))
+    return residual + h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _vl(static, x, weights):
+    num_heads, eps, kv_len, act, interpret = static
+    return _vit_layer_pallas(x, weights, num_heads=num_heads, eps=eps,
+                             kv_len=kv_len, act=act, interpret=interpret)
+
+
+def _weights_to_p(weights):
+    names = ["layer_norm1", None, "q_proj", None, "k_proj", None,
+             "v_proj", None, "out_proj", None, "layer_norm2", None,
+             "fc1", None, "fc2", None]
+    p = {}
+    for i in range(0, 16, 2):
+        name = names[i]
+        if "norm" in name:
+            p[name] = {"scale": weights[i][0], "bias": weights[i + 1][0]}
+        else:
+            p[name] = {"kernel": weights[i], "bias": weights[i + 1][0]}
+    return p
+
+
+def _vl_fwd(static, x, weights):
+    return _vl(static, x, weights), (x, weights)
+
+
+def _vl_bwd(static, res, g):
+    num_heads, eps, kv_len, act, _ = static
+    x, weights = res
+    from video_llava_seg_tpu.ops import nn
+
+    act_f = {"quick_gelu": _xla_quick_gelu, "gelu": nn.gelu}[act]
+
+    def f(x, weights):
+        return vit_layer_xla(_weights_to_p(weights), x,
+                             num_heads=num_heads, eps=eps, kv_len=kv_len,
+                             act=act_f)
+
+    _, vjp = jax.vjp(f, x, weights)
+    return vjp(g)
+
+
+def _xla_quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_vl.defvjp(_vl_fwd, _vl_bwd)
+
+
+def vit_layer_supported(n_tokens: int, d: int, num_heads: int) -> bool:
+    """8-aligned token count (caller pads once for the whole tower) and
+    lane-aligned model dim."""
+    return n_tokens % 8 == 0 and d % num_heads == 0 and d % 128 == 0
+
+
+def vit_layer(p, x, *, num_heads: int, eps: float, kv_len: int = -1,
+              act: str = "quick_gelu", backend: str = "auto",
+              interpret: bool = False):
+    """Fused ViT encoder layer on TPU; XLA oracle elsewhere.
+
+    x: [BT, SP, D] with SP % 8 == 0 (pad tokens beyond kv_len are masked
+    as attention keys and otherwise passed through token-locally)."""
+    bt, sp, d = x.shape
+    if kv_len < 0:
+        kv_len = sp
+    if backend == "auto":
+        from video_llava_seg_tpu.ops.attention import _on_tpu
+        backend = ("pallas" if ((_on_tpu() or interpret)
+                                and vit_layer_supported(sp, d, num_heads))
+                   else "xla")
+    if backend == "xla":
+        if act == "quick_gelu":
+            act_f = _xla_quick_gelu
+        else:
+            from video_llava_seg_tpu.ops import nn
+            act_f = nn.gelu
+        return vit_layer_xla(p, x, num_heads=num_heads, eps=eps,
+                             kv_len=kv_len, act=act_f)
+    assert backend == "pallas", backend
+    static = (num_heads, eps, kv_len, act, interpret)
+    return _vl(static, x, _flat_weights(p))
