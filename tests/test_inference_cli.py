@@ -153,6 +153,33 @@ def test_run_inference_end_to_end(vicas_env, tmp_path):
     assert os.path.getmtime(out_path) == mtime
 
 
+def test_run_inference_tensor_parallel(vicas_env, tmp_path):
+    """--model_parallel 2: LLM TP-sharded over the virtual mesh, same
+    output schema and caption as the single-device run."""
+    from video_llava_seg_tpu.inference.main import run_inference
+
+    base = types.SimpleNamespace(
+        model_path="unused", gt_dir=None, output_dir=None,
+        num_chunks=1, chunk_idx=0, overwrite=False, print_captions=False,
+        dataset_version="v1.0", dataset_split="val", skip_seg=False,
+        skip_captions=False, max_new_tokens=4, temperature=0.0,
+        top_p=None, num_beams=1, conv_template="llava_llama_3",
+        seg_pad_mode="topleft")
+
+    base.output_dir = str(tmp_path / "out_single")
+    run_inference(base, model=_tiny_model())
+    base.output_dir = str(tmp_path / "out_tp")
+    base.model_parallel = 2
+    run_inference(base, model=_tiny_model())
+
+    with open(osp.join(tmp_path, "out_single", "000007.json")) as fh:
+        single = json.load(fh)
+    with open(osp.join(tmp_path, "out_tp", "000007.json")) as fh:
+        tp = json.load(fh)
+    assert tp["pred_caption"] == single["pred_caption"]
+    assert tp["pred_lgvis_masks"] == single["pred_lgvis_masks"]
+
+
 def test_chunked_sharding_excludes_other_chunks(vicas_env, tmp_path):
     from video_llava_seg_tpu.inference.main import get_video_list
     from video_llava_seg_tpu.paths import Paths

@@ -215,6 +215,31 @@ def run_inference(args, model=None):
             args.model_path,
             load_bits=8 if getattr(args, "load_8bit", False)
             else 4 if getattr(args, "load_4bit", False) else None)
+
+    # --model_parallel N: tensor-parallel serving over N chips. LLM weights
+    # shard megatron-style (parallel/mesh.py rules); vision + seg head stay
+    # replicated. Eager dispatch follows the data, so no mesh context is
+    # needed — GSPMD inserts the TP collectives inside greedy_generate
+    # (token-exact vs single-device: tests/test_tp_serving.py).
+    mp = int(getattr(args, "model_parallel", 1) or 1)
+    if mp > 1:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from video_llava_seg_tpu.config import MeshConfig
+        from video_llava_seg_tpu.parallel.mesh import (
+            create_mesh,
+            shard_params,
+        )
+
+        mesh = create_mesh(MeshConfig(data_parallel=1, model_parallel=mp),
+                           devices=jax.devices()[:mp])
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params = {
+            k: (shard_params(v, mesh) if k == "llm"
+                else jax.device_put(v, replicated))
+            for k, v in params.items()
+        }
     fetcher = VideoAndFrameFetcher(args)
     gt_dir = args.gt_dir or str(Paths.vicas_annotations_dir(
         args.dataset_version))
@@ -320,6 +345,8 @@ def parse_args():
     p.add_argument("--seg_pad_mode", default="topleft")
     p.add_argument("--load_8bit", action="store_true")
     p.add_argument("--load_4bit", action="store_true")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="shard the LLM over N chips (tensor parallel)")
     return p.parse_args()
 
 
