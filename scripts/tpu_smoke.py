@@ -260,6 +260,24 @@ def check_vit_megakernel():
     assert rel < 0.15, rel
     print(f"  vit_layer ok ({bt}x{sp}x{d} h{heads}): max rel {rel:.4f}")
 
+    # W8A8 fused variant: in-kernel dynamic act quant + int8 MXU dots —
+    # verify the Mosaic int8 dot path against the nn.dense W8A8 oracle
+    # running the SAME quantized params
+    from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+    pq = quantize_tree(p, bits=8, act_quant=True, min_size=0)
+    got_q = jax.jit(lambda x, p: vit_layer(
+        p, x, num_heads=heads, eps=1e-5, kv_len=kv,
+        backend="pallas"))(x, pq)
+    want_q = jax.jit(lambda x, p: vit_layer_xla(
+        p, x, num_heads=heads, eps=1e-5, kv_len=kv,
+        act=_xla_quick_gelu))(x, pq)
+    gq = np.asarray(got_q[:, :kv].astype(jnp.float32))
+    wq = np.asarray(want_q[:, :kv].astype(jnp.float32))
+    rel_q = np.abs(gq - wq).max() / (np.std(wq) + 1e-9)
+    assert rel_q < 0.15, rel_q
+    print(f"  vit_layer W8A8 ok: max rel vs int8 oracle {rel_q:.4f}")
+
 
 if __name__ == "__main__":
     check_flash_grads()

@@ -138,6 +138,179 @@ def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
     jax.lax.fori_loop(0, mlp_chunks, _back, 0)
 
 
+def _quant_rows_f32(xf):
+    """nn.dense W8A8 activation quant (quantize_activations_rowwise):
+    dynamic symmetric per-row int8. xf: f32 [rows, in]."""
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dense_i8(xq, a_scale, wq_ref, ws_row, b_row, dtype):
+    """int8 x int8 -> int32 MXU dot, rescaled by act-row x weight-col
+    scales (exact nn.dense kernel_qa semantics, bias added in dtype)."""
+    y = jax.lax.dot_general(xq, wq_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = (y.astype(jnp.float32) * a_scale
+         * ws_row[0].astype(jnp.float32)).astype(dtype)
+    return y + b_row[0].astype(dtype)
+
+
+def _vit_kernel_i8(x_ref, ln1s, ln1b, wq, wqs, bq, wk, wks, bk, wv, wvs, bv,
+                   wo, wos, bo, ln2s, ln2b, w1, w1s, b1, w2, w2s, b2,
+                   o_ref, qkv_buf, h1_ref, *, heads: int, hd: int,
+                   scale: float, eps: float, kv_len: int, act: str,
+                   in_chunks: int, mlp_chunks: int):
+    """W8A8 variant of _vit_kernel: every dense runs as an int8 MXU dot
+    with in-kernel dynamic per-row activation quant (the quant/rescale
+    elementwise passes that made standalone W8A8 a wash at ViT dims now
+    fuse into the resident pass — see BENCH_NOTES 'W8A8').
+
+    Weight refs are int8 [in, out] + f32 [1, out] per-output-channel
+    scales (ops/quantization.py act_quant layout). Attention itself
+    (scores/softmax/ctx) stays bf16/f32 — it is VPU-bound, not MXU-bound.
+    Per-head ctx tiles land in qkv_buf's q-slot (head h's q is dead once
+    its ctx exists) so the out projection runs as ONE [rows, c] int8 dot
+    with the oracle's full-row activation scale."""
+    fb, sp, d = x_ref.shape
+    c = heads * hd
+    t_i = sp // in_chunks
+    dtype = x_ref.dtype
+    act_f = _ACTS[act]
+
+    def _front(ci, carry):
+        sl = pl.ds(ci * t_i, t_i)
+        xf = x_ref[:, sl].astype(jnp.float32)
+        xn = _ln_f32(xf, ln1s[0], ln1b[0], eps).astype(dtype)
+        xq, a_s = _quant_rows_f32(
+            xn.reshape(fb * t_i, d).astype(jnp.float32))
+        for j, (w, ws, b) in enumerate(((wq, wqs, bq), (wk, wks, bk),
+                                        (wv, wvs, bv))):
+            y = _dense_i8(xq, a_s, w, ws, b, dtype)
+            qkv_buf[:, sl, pl.ds(j * c, c)] = y.reshape(fb, t_i, c)
+        return carry
+
+    jax.lax.fori_loop(0, in_chunks, _front, 0)
+
+    key_pad = None
+    if kv_len < sp:
+        kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
+        key_pad = kk >= kv_len
+
+    for h in range(heads):
+        q = qkv_buf[:, :, h * hd:(h + 1) * hd]
+        k = qkv_buf[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv_buf[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if key_pad is not None:
+            s = jnp.where(key_pad, _MASK, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # head h's q slot is dead from here on: park ctx_h in it so the
+        # out projection below sees the full [rows, c] ctx row-contiguous
+        qkv_buf[:, :, h * hd:(h + 1) * hd] = ctx.astype(dtype)
+
+    cq, c_s = _quant_rows_f32(
+        qkv_buf[:, :, :c].reshape(fb * sp, c).astype(jnp.float32))
+    proj = _dense_i8(cq, c_s, wo, wos, bo, dtype)
+    h1_ref[...] = x_ref[...] + proj.reshape(fb, sp, d)
+
+    t_m = sp // mlp_chunks
+
+    def _back(ci, carry):
+        sl = pl.ds(ci * t_m, t_m)
+        seg = h1_ref[:, sl]
+        hn = _ln_f32(seg.astype(jnp.float32), ln2s[0], ln2b[0],
+                     eps).astype(dtype)
+        hq, h_s = _quant_rows_f32(
+            hn.reshape(fb * t_m, d).astype(jnp.float32))
+        hh = _dense_i8(hq, h_s, w1, w1s, b1, dtype)
+        hh = act_f(hh.astype(jnp.float32)).astype(dtype)
+        gq, g_s = _quant_rows_f32(hh.astype(jnp.float32))
+        mlp = _dense_i8(gq, g_s, w2, w2s, b2, dtype)
+        o_ref[:, sl] = seg + mlp.reshape(fb, t_m, d)
+        return carry
+
+    jax.lax.fori_loop(0, mlp_chunks, _back, 0)
+
+
+_DENSE_NAMES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
+
+
+def layer_quant_kind(p):
+    """None (all-fp layer), 'w8a8' (ALL six denses kernel_qa) or 'w8'
+    (anything else quantized / mixed — routed to the XLA oracle, whose
+    nn.dense dispatch handles every per-dense mix)."""
+    kinds = set()
+    for name in _DENSE_NAMES:
+        d = p[name]
+        kinds.add("kernel_qa" if "kernel_qa" in d
+                  else "kernel_q" if "kernel_q" in d else "fp")
+    if kinds == {"kernel_qa"}:
+        return "w8a8"
+    if kinds == {"fp"}:
+        return None
+    return "w8"
+
+
+def _flat_weights_i8(p):
+    def vec(v):
+        return v.reshape(1, -1)
+
+    out = [vec(p["layer_norm1"]["scale"]), vec(p["layer_norm1"]["bias"])]
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        out += [p[name]["kernel_qa"], vec(p[name]["kernel_scale"]),
+                vec(p[name]["bias"])]
+    out += [vec(p["layer_norm2"]["scale"]), vec(p["layer_norm2"]["bias"])]
+    for name in ("fc1", "fc2"):
+        out += [p[name]["kernel_qa"], vec(p[name]["kernel_scale"]),
+                vec(p[name]["bias"])]
+    return out
+
+
+def _vit_layer_pallas_i8(x, weights, *, num_heads: int, eps: float,
+                         kv_len: int, act: str, interpret: bool):
+    """Forward-only (inference) W8A8 fused layer; no custom_vjp — the
+    rounding in the activation quant has no useful gradient."""
+    bt, sp, d = x.shape
+    hd = d // num_heads
+    dff = weights[17].shape[1]
+    fb = _frames_per_step(bt, sp, d, dff, x.dtype.itemsize)
+    in_chunks = _row_chunks(sp, fb, 3 * d, ps=8)
+    mlp_chunks = _row_chunks(sp, fb, dff, ps=8)
+    kernel = functools.partial(
+        _vit_kernel_i8, heads=num_heads, hd=hd, scale=1.0 / math.sqrt(hd),
+        eps=eps, kv_len=kv_len, act=act, in_chunks=in_chunks,
+        mlp_chunks=mlp_chunks)
+
+    full = lambda t: pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(bt // fb,),
+        in_specs=[pl.BlockSpec((fb, sp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(t) for t in weights],
+        out_specs=pl.BlockSpec((fb, sp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, sp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((fb, sp, 3 * d), x.dtype),
+                        pltpu.VMEM((fb, sp, d), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )(x, *weights)
+
+
 def _flat_weights(p):
     def vec(v):
         return v.reshape(1, -1)
@@ -293,12 +466,16 @@ def vit_layer(p, x, *, num_heads: int, eps: float, kv_len: int = -1,
     bt, sp, d = x.shape
     if kv_len < 0:
         kv_len = sp
+    qk = layer_quant_kind(p)
     if backend == "auto":
         from video_llava_seg_tpu.ops.attention import _on_tpu
         backend = ("pallas" if ((_on_tpu() or interpret)
                                 and vit_layer_supported(sp, d, num_heads))
                    else "xla")
-    if backend == "xla":
+    # weight-only quantized layers have no fused path (dequant-per-step
+    # would re-traverse the weights every grid step); nn.dense's fused
+    # int8->bf16 convert dot via the XLA oracle is the right call there
+    if backend == "xla" or qk == "w8":
         if act == "quick_gelu":
             act_f = _xla_quick_gelu
         else:
@@ -307,5 +484,11 @@ def vit_layer(p, x, *, num_heads: int, eps: float, kv_len: int = -1,
         return vit_layer_xla(p, x, num_heads=num_heads, eps=eps,
                              kv_len=kv_len, act=act_f)
     assert backend == "pallas", backend
+    if qk == "w8a8":
+        # forward-only (inference) fused int8 path
+        return _vit_layer_pallas_i8(x, _flat_weights_i8(p),
+                                    num_heads=num_heads, eps=eps,
+                                    kv_len=kv_len, act=act,
+                                    interpret=interpret)
     static = (num_heads, eps, kv_len, act, interpret)
     return _vl(static, x, _flat_weights(p))
