@@ -52,7 +52,7 @@ _ACTS = {"quick_gelu": _quick_gelu_f32, "gelu": _gelu_f32}
 
 
 def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
-                ln2s, ln2b, w1, b1, w2, b2, o_ref, qkv_buf, attn_ref,
+                ln2s, ln2b, w1, b1, w2, b2, o_ref, qkv_buf,
                 h1_ref, *, heads: int, hd: int, scale: float, eps: float,
                 kv_len: int, act: str, in_chunks: int, mlp_chunks: int):
     """One tile of `fb` frames x `sp` (8-aligned) tokens x D channels.
@@ -88,9 +88,10 @@ def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
         kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
         key_pad = kk >= kv_len
 
-    # per-head, frame-batched SDPA; heads fold into the out projection:
-    # attn = sum_h ctx_h @ Wo[h] accumulated in the f32 VMEM scratch
-    attn_ref[...] = jnp.zeros((fb, sp, c), jnp.float32)
+    # per-head, frame-batched SDPA. Each head's ctx parks in its (dead
+    # from here) q slot of the qkv scratch, so the out projection runs as
+    # ONE [rows, c] @ [c, d] dot — full 128-deep MXU reduction instead of
+    # `heads` separate hd-deep dots
     for h in range(heads):
         q = qkv_buf[:, :, h * hd:(h + 1) * hd]
         k = qkv_buf[:, :, c + h * hd:c + (h + 1) * hd]
@@ -106,13 +107,13 @@ def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
         ctx = jax.lax.dot_general(
             p.astype(x_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        proj = jax.lax.dot_general(
-            ctx.astype(x_ref.dtype).reshape(fb * sp, hd),
-            wo[h * hd:(h + 1) * hd, :].astype(x_ref.dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        attn_ref[...] = attn_ref[...] + proj.reshape(fb, sp, c)
+        qkv_buf[:, :, h * hd:(h + 1) * hd] = ctx.astype(x_ref.dtype)
 
-    h1_ref[...] = x_ref[...] + (attn_ref[...]
+    proj = jax.lax.dot_general(
+        qkv_buf[:, :, :c].reshape(fb * sp, c),
+        wo[...].astype(x_ref.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    h1_ref[...] = x_ref[...] + (proj.reshape(fb, sp, c)
                                 + bo[0].astype(jnp.float32)).astype(
         x_ref.dtype)
 
@@ -367,7 +368,6 @@ def _vit_layer_pallas(x, weights, *, num_heads: int, eps: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bt, sp, d), x.dtype),
         scratch_shapes=[pltpu.VMEM((fb, sp, 3 * d), x.dtype),
-                        pltpu.VMEM((fb, sp, d), jnp.float32),
                         pltpu.VMEM((fb, sp, d), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
