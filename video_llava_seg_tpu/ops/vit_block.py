@@ -109,16 +109,22 @@ def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
             preferred_element_type=jnp.float32)
         qkv_buf[:, :, h * hd:(h + 1) * hd] = ctx.astype(x_ref.dtype)
 
-    proj = jax.lax.dot_general(
-        qkv_buf[:, :, :c].reshape(fb * sp, c),
-        wo[...].astype(x_ref.dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    h1_ref[...] = x_ref[...] + (proj.reshape(fb, sp, c)
-                                + bo[0].astype(jnp.float32)).astype(
-        x_ref.dtype)
-
-    # back end: LN2 -> activation MLP -> residual
+    # back end: out projection, then LN2 -> activation MLP -> residual;
+    # both token-chunked so the f32 transients reuse one chunk's stack
     t_m = sp // mlp_chunks
+
+    def _proj(ci, carry):
+        sl = pl.ds(ci * t_m, t_m)
+        rows = qkv_buf[:, sl, :c].reshape(fb * t_m, c)
+        pr = jax.lax.dot_general(
+            rows, wo[...].astype(x_ref.dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        h1_ref[:, sl] = x_ref[:, sl] + (pr.reshape(fb, t_m, c)
+                                        + bo[0].astype(jnp.float32)).astype(
+            x_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, mlp_chunks, _proj, 0)
 
     def _back(ci, carry):
         sl = pl.ds(ci * t_m, t_m)
@@ -218,12 +224,17 @@ def _vit_kernel_i8(x_ref, ln1s, ln1b, wq, wqs, bq, wk, wks, bk, wv, wvs, bv,
         # out projection below sees the full [rows, c] ctx row-contiguous
         qkv_buf[:, :, h * hd:(h + 1) * hd] = ctx.astype(dtype)
 
-    cq, c_s = _quant_rows_f32(
-        qkv_buf[:, :, :c].reshape(fb * sp, c).astype(jnp.float32))
-    proj = _dense_i8(cq, c_s, wo, wos, bo, dtype)
-    h1_ref[...] = x_ref[...] + proj.reshape(fb, sp, d)
-
     t_m = sp // mlp_chunks
+
+    def _proj(ci, carry):
+        sl = pl.ds(ci * t_m, t_m)
+        cq, c_s = _quant_rows_f32(
+            qkv_buf[:, sl, :c].reshape(fb * t_m, c).astype(jnp.float32))
+        proj = _dense_i8(cq, c_s, wo, wos, bo, dtype)
+        h1_ref[:, sl] = x_ref[:, sl] + proj.reshape(fb, t_m, d)
+        return carry
+
+    jax.lax.fori_loop(0, mlp_chunks, _proj, 0)
 
     def _back(ci, carry):
         sl = pl.ds(ci * t_m, t_m)
