@@ -374,6 +374,23 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32,
         "prefill_tok_s_full_w8a8": round(prefill_len / t_prefill_a, 0),
         "decode_ms_per_tok_full_w8a8": round(1e3 * t_decode_a, 2),
     })
+
+    # --- W4A8 at full depth (opt-in lossy mode, reference load_4bit
+    # equivalent): nibble-packed int4 weights (~4 GB) halve decode's
+    # weight HBM reads; activations stay int8 so prefill keeps the MXU
+    # int8 rate. ops/int4.py Pallas unpack+dot kernel.
+    params_w4a8 = llama.init_quantized(jax.random.PRNGKey(0), full, bits=4,
+                                       act_quant=True)
+    out["w4a8_model_weight_gb"] = round(
+        quantized_nbytes(params_w4a8) / 2**30, 2)
+    t_prefill_4, t_decode_4 = _llm_prefill_decode_times(
+        params_w4a8, full, prefill_len, decode_steps)
+    del params_w4a8
+    gc.collect()
+    out.update({
+        "prefill_tok_s_full_w4a8": round(prefill_len / t_prefill_4, 0),
+        "decode_ms_per_tok_full_w4a8": round(1e3 * t_decode_4, 2),
+    })
     return out
 
 
@@ -456,12 +473,12 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         return tokens, hidden, n
 
     @jax.jit
-    def seg(params, frames, seg_hidden, salt):
+    def seg(seg_params, frames, seg_hidden, salt):
         feats, high_res = seg_head_mod.encode_video_frames(
-            params["seg_head"], sam2_cfg,
+            seg_params, sam2_cfg,
             frames.astype(jnp.bfloat16) + salt)
         masks = seg_head_mod.decode_masks(
-            params["seg_head"], cfg.seg, sam2_cfg, feats, high_res,
+            seg_params, cfg.seg, sam2_cfg, feats, high_res,
             seg_hidden.astype(jnp.bfloat16))
         return jnp.sum(masks.astype(jnp.float32)), masks.shape
 
@@ -477,7 +494,8 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
                                     jnp.bfloat16(salt))
         int(jax.device_get(n))
         t1 = time.time()
-        s, _shape = seg(params, fdev, seg_hidden, jnp.bfloat16(salt))
+        s, _shape = seg(params["seg_head"], fdev, seg_hidden,
+                        jnp.bfloat16(salt))
         float(s)
         t2 = time.time()
         return t2 - t0, t2 - t1
@@ -508,6 +526,22 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         out["note"] = (f"LLM is a {n_llm_layers}-layer slice; LLM share "
                        f"scales ~x{full_layers / n_llm_layers:.0f} at full "
                        "depth")
+
+    if full and llm_int8:
+        # --- W4A8 LLM variant (nibble-packed int4, the reference's
+        # load_4bit equivalent; opt-in LOSSY mode — accuracy delta is
+        # documented on config 4, not here): decode's weight reads halve
+        import gc
+
+        params["llm"] = None
+        gc.collect()
+        params["llm"] = llama.init_quantized(jax.random.PRNGKey(0),
+                                             llm_cfg, bits=4,
+                                             act_quant=True)
+        once(0.0)                      # recompile caption for the q4 tree
+        rows4 = [once(i * 1e-3) for i in range(1, 8)]
+        t4 = sorted(t for t, _ in rows4)
+        out["p50_w4a8_s"] = round(t4[len(t4) // 2], 3)
     return out
 
 

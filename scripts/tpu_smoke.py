@@ -279,9 +279,54 @@ def check_vit_megakernel():
     print(f"  vit_layer W8A8 ok: max rel vs int8 oracle {rel_q:.4f}")
 
 
+def check_w4a8_dense():
+    """Packed-int4 dense (ops/int4.py): Mosaic in-VMEM nibble unpack +
+    int8 MXU dots vs the XLA unpack oracle — must match bitwise (both
+    run the same int32 math) at an LLM mlp shape, incl. rows=1 decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_llava_seg_tpu.ops.int4 import (
+        pack_int4,
+        unpack_int4,
+        w4a8_matmul,
+    )
+    from video_llava_seg_tpu.ops.quantization import (
+        quantize_activations_rowwise,
+        quantize_kernel,
+    )
+
+    in_dim, out = 4096, 14336
+    w = jax.random.normal(jax.random.PRNGKey(0), (in_dim, out),
+                          jnp.float32) * 0.02
+    q, scale = quantize_kernel(w, bits=4)
+    packed = pack_int4(q)
+    lo, hi = unpack_int4(packed)
+    half = in_dim // 2
+
+    @jax.jit
+    def oracle(xq, a_s):
+        acc = (jnp.dot(xq[:, :half], lo, preferred_element_type=jnp.int32)
+               + jnp.dot(xq[:, half:], hi,
+                         preferred_element_type=jnp.int32))
+        return acc.astype(jnp.float32) * a_s * scale
+
+    kern = jax.jit(lambda xq, a_s: w4a8_matmul(xq, a_s, packed, scale,
+                                               jnp.float32))
+    for rows in (1, 256):
+        x = jax.random.normal(jax.random.PRNGKey(rows), (rows, in_dim),
+                              jnp.float32)
+        xq, a_s = quantize_activations_rowwise(x)
+        got = np.asarray(kern(xq, a_s))
+        want = np.asarray(oracle(xq, a_s))
+        assert np.array_equal(got, want), np.abs(got - want).max()
+    print(f"  w4a8 dense ok ({in_dim}x{out}): bitwise vs XLA oracle")
+
+
 if __name__ == "__main__":
     check_flash_grads()
     check_hiera_megakernel()
     check_vit_megakernel()
+    check_w4a8_dense()
     check_train_step()
     print("TPU smoke: ALL OK")

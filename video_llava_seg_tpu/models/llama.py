@@ -126,6 +126,10 @@ def unembed(params, cfg: LlamaConfig, h):
         w = params["embed_tokens"]["embedding"].astype(h.dtype)
         return jnp.dot(h, w.T, preferred_element_type=jnp.float32)
     head = params["lm_head"]
+    if "kernel_q4a" in head:  # W4A8 packed int4 (ops/int4.py)
+        from video_llava_seg_tpu.ops.int4 import w4a8_dense
+
+        return w4a8_dense(head, h.astype(jnp.float32))
     if "kernel_qa" in head:  # W8A8 (ops/quantization.py act_quant)
         from video_llava_seg_tpu.ops.quantization import (
             quantize_activations_rowwise,

@@ -1,0 +1,161 @@
+"""W4A8 dense: packed-int4 weights, int8 activations, int8 MXU dots.
+
+TPU-native realization of the reference's 4-bit serving mode (BitsAndBytes
+``load_4bit`` gates, llava/model/builder.py:47-66): weights quantize to
+symmetric per-output-channel int4 and PACK two values per byte, so decode
+— which is weight-HBM-bound — reads half the bytes of the int8 path
+(~4 GB for an 8B LLM vs ~8 GB int8 / ~16 GB bf16). Activations quantize
+dynamically per row to int8 (same scheme as the W8A8 path), and the MXU
+computes int8 x int8 -> int32: prefill keeps the int8 compute-rate win on
+top of decode's bandwidth win.
+
+Packing layout ("halves" scheme): byte row i of the packed [in/2, out]
+tensor holds W[i] in its low nibble and W[i + in/2] in its high nibble.
+Unpacking is then two sign-extends with NO interleave — the low-nibble
+plane IS rows [0, in/2) and the high-nibble plane IS rows [in/2, in) — so
+the kernel runs two contiguous [rows, in/2] @ [in/2, out] int8 dots and
+adds the int32 accumulators.
+
+Forward-only (inference): int4 round-to-nearest has no useful gradient.
+Numerics vs bf16 are lossier than int8 — this is an OPT-IN serving mode,
+mirroring the reference's load_4bit, with the delta reported by bench.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_int4(q):
+    """Pack int8 values in [-7, 7] (shape [in, out], in even) into int8
+    bytes [in/2, out]: low nibble = q[i], high nibble = q[i + in/2]."""
+    in_dim = q.shape[0]
+    assert in_dim % 2 == 0, in_dim
+    half = in_dim // 2
+    q32 = q.astype(jnp.int32)
+    lo = q32[:half] & 0xF
+    hi = (q32[half:] & 0xF) << 4
+    byte = lo | hi  # 0..255
+    return jnp.where(byte >= 128, byte - 256, byte).astype(jnp.int8)
+
+
+def unpack_int4(packed):
+    """Inverse of pack_int4: int8 [in/2, out] -> (lo, hi) int8 planes,
+    lo = rows [0, in/2), hi = rows [in/2, in)."""
+    p32 = packed.astype(jnp.int32) & 0xFF  # byte value 0..255
+    lo = p32 & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = (p32 >> 4) & 0xF
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def _w4a8_kernel(xq_ref, asc_ref, wp_ref, wsc_ref, o_ref, *, half: int,
+                 out_dtype):
+    """One [tr, in] x [in/2, to] tile: in-VMEM nibble unpack (int32
+    compare/select — no narrow-int shifts, which Mosaic lacks) + two
+    contiguous int8 MXU dots accumulated in int32."""
+    p32 = wp_ref[...].astype(jnp.int32) & 0xFF
+    lo = p32 & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+    hi = (p32 >> 4) & 0xF
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq_ref[:, :half], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(
+        xq_ref[:, half:], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[...] = (acc.astype(jnp.float32) * asc_ref[...]
+                  * wsc_ref[0]).astype(out_dtype)
+
+
+def _tile(n: int, cap: int, align: int) -> int:
+    """Largest divisor of n that is <= cap and a multiple of `align`
+    (falls back to n when nothing aligns — caller gates on divisibility)."""
+    best = n
+    for t in range(cap, align - 1, -1):
+        if t % align == 0 and n % t == 0:
+            best = t
+            break
+    return best
+
+
+def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
+                interpret: bool = False):
+    """xq: int8 [rows, in]; a_scale: f32 [rows, 1]; packed: int8
+    [in/2, out]; w_scale: f32 [out]. Returns [rows, out] out_dtype."""
+    rows, in_dim = xq.shape
+    half, out = packed.shape
+    assert half * 2 == in_dim, (half, in_dim)
+
+    rp = -(-rows // 8) * 8
+    if rp != rows:
+        xq = jnp.pad(xq, ((0, rp - rows), (0, 0)))
+        a_scale = jnp.pad(a_scale, ((0, rp - rows), (0, 0)),
+                          constant_values=1.0)
+    tr = _tile(rp, 256, 8)
+    to = _tile(out, 512, 128)
+
+    fn = pl.pallas_call(
+        functools.partial(_w4a8_kernel, half=half, out_dtype=out_dtype),
+        grid=(rp // tr, out // to),
+        in_specs=[
+            pl.BlockSpec((tr, in_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((half, to), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, to), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, to), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, out), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 << 20,
+        ),
+        interpret=interpret,
+    )
+    y = fn(xq, a_scale, packed, w_scale.reshape(1, -1).astype(jnp.float32))
+    return y[:rows] if rp != rows else y
+
+
+def _supported(in_dim: int, out: int) -> bool:
+    return in_dim % 2 == 0 and out % 128 == 0
+
+
+def w4a8_dense(p, x, interpret: bool = False):
+    """nn.dense body for a 'kernel_q4a' param dict. x: [..., in]."""
+    from video_llava_seg_tpu.ops.attention import _on_tpu
+    from video_llava_seg_tpu.ops.quantization import (
+        quantize_activations_rowwise,
+    )
+
+    packed = p["kernel_q4a"]
+    half, out = packed.shape
+    in_dim = half * 2
+    lead = x.shape[:-1]
+    xq, a_scale = quantize_activations_rowwise(x.reshape(-1, in_dim))
+
+    if (_on_tpu() or interpret) and _supported(in_dim, out):
+        y = w4a8_matmul(xq, a_scale, packed, p["kernel_scale"], x.dtype,
+                        interpret=interpret)
+    else:
+        lo, hi = unpack_int4(packed)
+        acc = (jnp.dot(xq[:, :half], lo, preferred_element_type=jnp.int32)
+               + jnp.dot(xq[:, half:], hi,
+                         preferred_element_type=jnp.int32))
+        y = (acc.astype(jnp.float32) * a_scale
+             * p["kernel_scale"]).astype(x.dtype)
+    y = y.reshape(*lead, out)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y

@@ -47,6 +47,13 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(p, x):
+    if "kernel_q4a" in p:
+        # W4A8 (ops/int4.py): nibble-packed int4 weights unpacked in-kernel
+        # to int8 + dynamic per-row int8 activations — half the int8
+        # path's weight HBM bytes (the decode win), int8 MXU dots
+        from video_llava_seg_tpu.ops.int4 import w4a8_dense
+
+        return w4a8_dense(p, x)
     if "kernel_qa" in p:
         # W8A8 (ops/quantization.py act_quant): dynamic per-row activation
         # quant + int8xint8 MXU dot (v5e int8 peak ~2x bf16), rescaled by

@@ -44,20 +44,27 @@ def quantize_tree(params, bits: int = 8,
 
     act_quant=False (weight-only): kernels stored as 'kernel_q' and
     dequantized to the compute dtype at use — halves weight HBM traffic
-    (the decode-serving win). act_quant=True (W8A8, bits must be 8):
-    kernels stored as 'kernel_qa'; nn.dense then dynamically quantizes
+    (the decode-serving win). act_quant=True with bits=8 (W8A8): kernels
+    stored as 'kernel_qa'; nn.dense then dynamically quantizes
     activations per-row and runs an int8xint8 MXU dot (v5e int8 peak is
-    ~2x bf16 — the compute-bound-encode win)."""
+    ~2x bf16 — the compute-bound-encode win). act_quant=True with bits=4
+    (W4A8): kernels stored nibble-PACKED as 'kernel_q4a' (ops/int4.py) —
+    half the int8 path's weight HBM bytes, still int8 MXU dots."""
     assert bits in _QMAX, bits
-    assert not (act_quant and bits != 8), "W8A8 requires 8-bit"
-    key_out = "kernel_qa" if act_quant else "kernel_q"
+    key_out = ("kernel_qa" if act_quant and bits == 8
+               else "kernel_q4a" if act_quant else "kernel_q")
 
     def go(tree, path=()):
         if isinstance(tree, dict):
             if ("kernel" in tree and not any(s in path for s in skip)
                     and getattr(tree["kernel"], "ndim", 0) == 2
-                    and tree["kernel"].size >= min_size):
+                    and tree["kernel"].size >= min_size
+                    and not (key_out == "kernel_q4a"
+                             and tree["kernel"].shape[0] % 2)):
                 q, scale = quantize_kernel(tree["kernel"], bits)
+                if key_out == "kernel_q4a":
+                    from video_llava_seg_tpu.ops.int4 import pack_int4
+                    q = pack_int4(q)
                 out = {k: v for k, v in tree.items() if k != "kernel"}
                 out[key_out] = q
                 out["kernel_scale"] = scale
