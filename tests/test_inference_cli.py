@@ -180,6 +180,53 @@ def test_run_inference_tensor_parallel(vicas_env, tmp_path):
     assert tp["pred_lgvis_masks"] == single["pred_lgvis_masks"]
 
 
+def test_load_model_orbax_and_quant_gates(tmp_path):
+    """load_model restores an orbax checkpoint; --load_8bit gives the LLM
+    weight-only int8 kernels, --load_4bit the packed W4A8 kernels; the
+    vision tower / seg head stay fp either way (reference BitsAndBytes
+    gates wrap only the LM, builder.py:47-66)."""
+    import dataclasses
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from video_llava_seg_tpu.config import (
+        SegHeadConfig,
+        VideoLlavaConfig,
+        to_json,
+    )
+    from video_llava_seg_tpu.inference.main import load_model
+    from video_llava_seg_tpu.models import llava
+
+    cfg = VideoLlavaConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        seg=SegHeadConfig(seg_backbone="tiny", image_size=64,
+                          max_seg_frames=4, max_objects=2),
+        seg_token_idx=400)
+    params = llava.init(jax.random.PRNGKey(0), cfg)
+    ckpt = tmp_path / "ckpt"
+    ocp.StandardCheckpointer().save(
+        (ckpt / "state").resolve(), {"params": params})
+    with open(ckpt / "config.json", "w") as fh:
+        fh.write(to_json(cfg))
+
+    def leaf_keys(tree):
+        return {
+            k for p, _ in jax.tree_util.tree_leaves_with_path(tree)
+            for k in [str(getattr(p[-1], "key", ""))]
+        }
+
+    p8, cfg8, _ = load_model(str(ckpt), load_bits=8)
+    assert cfg8.llm.hidden_size == cfg.llm.hidden_size
+    assert "kernel_q" in leaf_keys(p8["llm"])
+    assert "kernel_q" not in leaf_keys(p8["vision_tower"])
+
+    p4, _, _ = load_model(str(ckpt), load_bits=4)
+    assert "kernel_q4a" in leaf_keys(p4["llm"])
+    assert "kernel_q4a" not in leaf_keys(p4["seg_head"])
+
+
 def test_chunked_sharding_excludes_other_chunks(vicas_env, tmp_path):
     from video_llava_seg_tpu.inference.main import get_video_list
     from video_llava_seg_tpu.paths import Paths

@@ -133,7 +133,15 @@ def load_model(model_path: str, cfg: Optional[VideoLlavaConfig] = None,
     if load_bits is not None:
         from video_llava_seg_tpu.ops.quantization import quantize_tree
 
-        params = quantize_tree(params, load_bits)
+        # 8-bit: weight-only int8 (decode reads halve; bf16 greedy tokens
+        # reproduced exactly on chip). 4-bit: the packed W4A8 path
+        # (ops/int4.py) — weight reads halve again and prefill rides the
+        # int8 MXU, at the reference load_4bit's accuracy class. Only the
+        # LLM quantizes: vision/seg are latency-bound on activations, and
+        # the reference's BitsAndBytes gates also wrap only the LM.
+        params = dict(params)
+        params["llm"] = quantize_tree(params["llm"], load_bits,
+                                      act_quant=load_bits == 4)
     return params, cfg, tokenizer
 
 
