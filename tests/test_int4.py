@@ -41,7 +41,7 @@ def test_kernel_matches_xla_unpack_exactly():
     w = jax.random.normal(key, (256, 384)) * 0.1
     q, scale = quantize_kernel(w, bits=4)
     packed = pack_int4(q)
-    for rows in (1, 8, 40):
+    for rows in (1, 8, 40, 300):  # 300 > 256: padded 256-row prefill tiles
         x = jax.random.normal(jax.random.PRNGKey(rows), (rows, 256),
                               jnp.float32)
         xq, a_s = quantize_activations_rowwise(x)

@@ -94,32 +94,39 @@ def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
     half, out = packed.shape
     assert half * 2 == in_dim, (half, in_dim)
 
-    rp = -(-rows // 8) * 8
+    # pad rows to the tile size up front: a divisor-of-rows tile would
+    # degenerate to 8 on awkward prefill lengths (5128 = 8 x 641 -> 16x
+    # MXU row waste); +<=5% padded rows is far cheaper
+    tr = 8 if rows <= 256 else 256
+    rp = -(-rows // tr) * tr
     if rp != rows:
         xq = jnp.pad(xq, ((0, rp - rows), (0, 0)))
         a_scale = jnp.pad(a_scale, ((0, rp - rows), (0, 0)),
                           constant_values=1.0)
-    tr = _tile(rp, 256, 8)
     to = _tile(out, 512, 128)
 
+    # grid order: out tiles OUTER, row tiles inner — the weight tile's
+    # block index then only changes with the outer step, so the packed
+    # weights stream from HBM exactly once (decode's entire cost); the
+    # small int8 activation tile is what re-fetches per out tile
     fn = pl.pallas_call(
         functools.partial(_w4a8_kernel, half=half, out_dtype=out_dtype),
-        grid=(rp // tr, out // to),
+        grid=(out // to, rp // tr),
         in_specs=[
-            pl.BlockSpec((tr, in_dim), lambda i, j: (i, 0),
+            pl.BlockSpec((tr, in_dim), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((tr, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((half, to), lambda i, j: (0, j),
+            pl.BlockSpec((half, to), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, to), lambda i, j: (0, j),
+            pl.BlockSpec((1, to), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tr, to), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tr, to), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, out), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 << 20,
         ),
         interpret=interpret,
