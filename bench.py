@@ -75,7 +75,16 @@ def bench_vision(n_clips=4):
         return (jnp.sum(slow.astype(jnp.float32))
                 + jnp.sum(fast.astype(jnp.float32)))
 
-    float(encode(params, video, jnp.bfloat16(0)))   # compile + warmup
+    try:
+        float(encode(params, video, jnp.bfloat16(0)))   # compile + warmup
+    except Exception:  # pragma: no cover - chip-side guard: the fused
+        # megakernel path must never cost us the headline; fall back to
+        # the per-op composition and report which path ran
+        from video_llava_seg_tpu.models import vit as vit_mod
+
+        vit_mod.USE_FUSED_VIT_BLOCK = False
+        encode = jax.jit(encode.__wrapped__)
+        float(encode(params, video, jnp.bfloat16(0)))
     # throughput timing: dispatch all iters async, one device sync at the
     # end — a per-iter host sync costs ~35 ms RTT on this chip's tunnel
     # and would serialize the pipeline (serving dispatches clips back to
@@ -101,21 +110,26 @@ def bench_vision(n_clips=4):
         slow, fast = llava.encode_video(params, cfg, clip)
         return slow.astype(jnp.float32), fast.astype(jnp.float32)
 
-    s_bf, f_bf = feats_of(params, video[:1])
-    s_q, f_q = feats_of(params_q, video[:1])
-    denom = float(jnp.std(s_bf)) + 1e-9
-    rel = jnp.abs(s_q - s_bf) / denom
-    int8_err = {"int8_rel_err_mean": round(float(jnp.mean(rel)), 4),
-                "int8_rel_err_p99": round(
-                    float(jnp.percentile(rel, 99.0)), 4)}
+    # guarded: the W8A8 leg must never take down the bf16 headline
+    try:
+        s_bf, f_bf = feats_of(params, video[:1])
+        s_q, f_q = feats_of(params_q, video[:1])
+        denom = float(jnp.std(s_bf)) + 1e-9
+        rel = jnp.abs(s_q - s_bf) / denom
+        int8_err = {"int8_rel_err_mean": round(float(jnp.mean(rel)), 4),
+                    "int8_rel_err_p99": round(
+                        float(jnp.percentile(rel, 99.0)), 4)}
 
-    float(encode(params_q, video, jnp.bfloat16(0)))
-    t0 = time.time()
-    outs = [encode(params_q, video, jnp.bfloat16(i * 1e-3))
-            for i in range(1, iters + 1)]
-    jax.block_until_ready(outs)
-    dt_q = (time.time() - t0) / iters
-    frames_per_sec_q = n_clips * cfg.num_frames / dt_q
+        float(encode(params_q, video, jnp.bfloat16(0)))
+        t0 = time.time()
+        outs = [encode(params_q, video, jnp.bfloat16(i * 1e-3))
+                for i in range(1, iters + 1)]
+        jax.block_until_ready(outs)
+        dt_q = (time.time() - t0) / iters
+        frames_per_sec_q = n_clips * cfg.num_frames / dt_q
+    except Exception as e:  # pragma: no cover - chip-side guard
+        int8_err = {"int8_error": f"{type(e).__name__}: {e}"[:200]}
+        frames_per_sec_q = float("nan")
 
     # achieved TF/s + MFU so the gap decomposes into kernel quality vs the
     # physics of the 2000 f/s target. FLOPs/frame for the tower fwd:
@@ -135,9 +149,14 @@ def bench_vision(n_clips=4):
         "achieved_tflops_s": round(tf_s, 1),
         "mfu_vs_measured_peak": round(tf_s / peak_tf, 3),
         "n_clips_per_dispatch": n_clips,
+        "fused_vit_megakernel": vit.USE_FUSED_VIT_BLOCK,
         # W8A8 int8 variant (quantize_tree(act_quant=True)): int8 MXU dots
-        "int8_w8a8_frames_per_sec": round(frames_per_sec_q, 2),
-        "int8_speedup_vs_bf16": round(frames_per_sec_q / frames_per_sec, 3),
+        "int8_w8a8_frames_per_sec": (round(frames_per_sec_q, 2)
+                                     if frames_per_sec_q == frames_per_sec_q
+                                     else None),
+        "int8_speedup_vs_bf16": (round(frames_per_sec_q / frames_per_sec, 3)
+                                 if frames_per_sec_q == frames_per_sec_q
+                                 else None),
         **int8_err,
         # physics: 2000 f/s x 365 GF/frame = 731 TF/s > the chip's bf16
         # peak (197 spec / 169 measured in-graph), so the north star is
@@ -378,19 +397,23 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32,
     # --- W4A8 at full depth (opt-in lossy mode, reference load_4bit
     # equivalent): nibble-packed int4 weights (~4 GB) halve decode's
     # weight HBM reads; activations stay int8 so prefill keeps the MXU
-    # int8 rate. ops/int4.py Pallas unpack+dot kernel.
-    params_w4a8 = llama.init_quantized(jax.random.PRNGKey(0), full, bits=4,
-                                       act_quant=True)
-    out["w4a8_model_weight_gb"] = round(
-        quantized_nbytes(params_w4a8) / 2**30, 2)
-    t_prefill_4, t_decode_4 = _llm_prefill_decode_times(
-        params_w4a8, full, prefill_len, decode_steps)
-    del params_w4a8
-    gc.collect()
-    out.update({
-        "prefill_tok_s_full_w4a8": round(prefill_len / t_prefill_4, 0),
-        "decode_ms_per_tok_full_w4a8": round(1e3 * t_decode_4, 2),
-    })
+    # int8 rate. ops/int4.py Pallas unpack+dot kernel. Guarded: must not
+    # take down the measured int8 numbers above.
+    try:
+        params_w4a8 = llama.init_quantized(jax.random.PRNGKey(0), full,
+                                           bits=4, act_quant=True)
+        out["w4a8_model_weight_gb"] = round(
+            quantized_nbytes(params_w4a8) / 2**30, 2)
+        t_prefill_4, t_decode_4 = _llm_prefill_decode_times(
+            params_w4a8, full, prefill_len, decode_steps)
+        del params_w4a8
+        gc.collect()
+        out.update({
+            "prefill_tok_s_full_w4a8": round(prefill_len / t_prefill_4, 0),
+            "decode_ms_per_tok_full_w4a8": round(1e3 * t_decode_4, 2),
+        })
+    except Exception as e:  # pragma: no cover - chip-side guard
+        out["w4a8_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -533,15 +556,18 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         # documented on config 4, not here): decode's weight reads halve
         import gc
 
-        params["llm"] = None
-        gc.collect()
-        params["llm"] = llama.init_quantized(jax.random.PRNGKey(0),
-                                             llm_cfg, bits=4,
-                                             act_quant=True)
-        once(0.0)                      # recompile caption for the q4 tree
-        rows4 = [once(i * 1e-3) for i in range(1, 8)]
-        t4 = sorted(t for t, _ in rows4)
-        out["p50_w4a8_s"] = round(t4[len(t4) // 2], 3)
+        try:
+            params["llm"] = None
+            gc.collect()
+            params["llm"] = llama.init_quantized(jax.random.PRNGKey(0),
+                                                 llm_cfg, bits=4,
+                                                 act_quant=True)
+            once(0.0)                  # recompile caption for the q4 tree
+            rows4 = [once(i * 1e-3) for i in range(1, 8)]
+            t4 = sorted(t for t, _ in rows4)
+            out["p50_w4a8_s"] = round(t4[len(t4) // 2], 3)
+        except Exception as e:  # pragma: no cover - chip-side guard
+            out["w4a8_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
