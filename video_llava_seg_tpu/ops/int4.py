@@ -19,6 +19,11 @@ adds the int32 accumulators.
 Forward-only (inference): int4 round-to-nearest has no useful gradient.
 Numerics vs bf16 are lossier than int8 — this is an OPT-IN serving mode,
 mirroring the reference's load_4bit, with the delta reported by bench.
+
+The fused kernel is the SINGLE-CHIP serving path. For TP-sharded serving
+set USE_PALLAS_W4A8 = False: the XLA unpack fallback runs the identical
+int32 math and GSPMD can partition it, while a pallas_call cannot be
+auto-partitioned across a mesh.
 """
 
 from __future__ import annotations
@@ -29,6 +34,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# single-chip fused kernel on TPU; False = XLA unpack path (same int32
+# math bitwise — see tests/test_int4.py), needed for TP-sharded serving
+USE_PALLAS_W4A8 = True
 
 
 def pack_int4(q):
@@ -152,7 +161,8 @@ def w4a8_dense(p, x, interpret: bool = False):
     lead = x.shape[:-1]
     xq, a_scale = quantize_activations_rowwise(x.reshape(-1, in_dim))
 
-    if (_on_tpu() or interpret) and _supported(in_dim, out):
+    if ((_on_tpu() and USE_PALLAS_W4A8) or interpret) \
+            and _supported(in_dim, out):
         y = w4a8_matmul(xq, a_scale, packed, p["kernel_scale"], x.dtype,
                         interpret=interpret)
     else:
