@@ -414,6 +414,25 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32,
         })
     except Exception as e:  # pragma: no cover - chip-side guard
         out["w4a8_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # --- int8 KV cache on top of W4A8 weights: decode's HBM reads are
+    # weights + cache; at 5k context the bf16 cache is ~2 GB, int8 halves
+    # it (scales fold exactly — tests/test_kv_int8.py). Guarded likewise.
+    try:
+        full_kv8 = dataclasses.replace(full, kv_cache_int8=True)
+        params_w4a8 = llama.init_quantized(jax.random.PRNGKey(0), full,
+                                           bits=4, act_quant=True)
+        t_prefill_5, t_decode_5 = _llm_prefill_decode_times(
+            params_w4a8, full_kv8, prefill_len, decode_steps)
+        del params_w4a8
+        gc.collect()
+        out.update({
+            "prefill_tok_s_full_w4a8_kv8": round(prefill_len / t_prefill_5,
+                                                 0),
+            "decode_ms_per_tok_full_w4a8_kv8": round(1e3 * t_decode_5, 2),
+        })
+    except Exception as e:  # pragma: no cover - chip-side guard
+        out["kv8_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 

@@ -152,6 +152,10 @@ class LlamaConfig:
     sliding_window: Optional[int] = None  # Mistral
     norm_type: str = "rmsnorm"       # 'rmsnorm' | 'layernorm' (MPT)
     mlp_type: str = "swiglu"         # 'swiglu' | 'gelu' (MPT)
+    # serving: store the KV cache as int8 + per-position f32 scales
+    # (models/llama.py::_quant_kv) — halves cache HBM reads at decode;
+    # the scales fold exactly into attention (ops/attention.py)
+    kv_cache_int8: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LlamaConfig":

@@ -153,13 +153,36 @@ class KVCache(NamedTuple):
     k: jnp.ndarray  # [L, B, Hkv, max_len, hd]
     v: jnp.ndarray
     length: jnp.ndarray  # scalar int32
+    # int8-quantized cache (cfg.kv_cache_int8): k/v are int8 and these
+    # hold the per-(layer, batch, head, position) f32 scales; None = fp
+    k_scale: Optional[jnp.ndarray] = None  # [L, B, Hkv, max_len, 1]
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, quantized: Optional[bool] = None
+                  ) -> KVCache:
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    if quantized is None:
+        quantized = cfg.kv_cache_int8
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return KVCache(jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.zeros((), jnp.int32),
+                       jnp.ones(sshape, jnp.float32),
+                       jnp.ones(sshape, jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    jnp.zeros((), jnp.int32))
+
+
+def _quant_kv(x):
+    """Symmetric per-(batch, head, position) int8 over head_dim.
+    x: [B, H, S, D] -> (int8, f32 [B, H, S, 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.where(amax == 0, 1.0, amax / 127.0)
+    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
 
 
 def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
@@ -183,11 +206,20 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
                       alibi=cfg.use_alibi, interpret=interpret)
         new_kv = (k, v)
     else:
-        # cache_kv = (k_all [L,B,Hkv,S,D], v_all, layer_idx): write ONLY
-        # the s new tokens into the stacked cache (never copy/rebuild a
-        # whole layer — the per-step jnp.stack of the old design rewrote
-        # the full multi-GB cache every decoded token)
-        k_all, v_all, li = cache_kv
+        # cache_kv = (k_all [L,B,Hkv,S,D], v_all, k_scale_all, v_scale_all,
+        # layer_idx): write ONLY the s new tokens into the stacked cache
+        # (never copy/rebuild a whole layer — the per-step jnp.stack of the
+        # old design rewrote the full multi-GB cache every decoded token)
+        k_all, v_all, ks_all, vs_all, li = cache_kv
+        if ks_all is not None:
+            # int8 cache: quantize the rotated K and V per position; the
+            # scales fold exactly into attention_reference's logits/weights
+            k, k_s = _quant_kv(k)
+            v, v_s = _quant_kv(v)
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, k_s[None], (li, 0, 0, cache_len, 0))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, v_s[None], (li, 0, 0, cache_len, 0))
         k_all = jax.lax.dynamic_update_slice(
             k_all, k.astype(k_all.dtype)[None], (li, 0, 0, cache_len, 0))
         v_all = jax.lax.dynamic_update_slice(
@@ -198,11 +230,22 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
         q_pos = (cache_len + jnp.arange(s)
                  if (cfg.sliding_window is not None or cfg.use_alibi)
                  else None)
-        o = attention_reference(q, ck.astype(q.dtype), cv.astype(q.dtype),
-                                kv_valid_len=valid,
-                                window=cfg.sliding_window,
-                                alibi=cfg.use_alibi, q_positions=q_pos)
-        new_kv = (k_all, v_all)
+        if ks_all is not None:
+            cks = jax.lax.dynamic_index_in_dim(ks_all, li, 0,
+                                               keepdims=False)[..., 0]
+            cvs = jax.lax.dynamic_index_in_dim(vs_all, li, 0,
+                                               keepdims=False)[..., 0]
+            o = attention_reference(q, ck, cv, kv_valid_len=valid,
+                                    window=cfg.sliding_window,
+                                    alibi=cfg.use_alibi, q_positions=q_pos,
+                                    k_scale=cks, v_scale=cvs)
+        else:
+            o = attention_reference(q, ck.astype(q.dtype),
+                                    cv.astype(q.dtype),
+                                    kv_valid_len=valid,
+                                    window=cfg.sliding_window,
+                                    alibi=cfg.use_alibi, q_positions=q_pos)
+        new_kv = (k_all, v_all, ks_all, vs_all)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, -1)
     return nn.dense(layer["attn"]["wo"], o), new_kv
 
@@ -268,10 +311,20 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
     cos, sin = rope_1d_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
     s = x.shape[1]
     k_all, v_all = cache.k, cache.v
+    ks_all, vs_all = cache.k_scale, cache.v_scale
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["input_layernorm"], cfg, x)
         a, (k, v) = _attn_block(layer, cfg, h, cos, sin, causal=True,
                                 interpret=interpret)
+        if ks_all is not None:
+            # int8 cache: prefill attention ran in bf16 (flash); only the
+            # STORED keys/values quantize, per position
+            k, k_s = _quant_kv(k)
+            v, v_s = _quant_kv(v)
+            ks_all = jax.lax.dynamic_update_slice(
+                ks_all, k_s[None], (li, 0, 0, 0, 0))
+            vs_all = jax.lax.dynamic_update_slice(
+                vs_all, v_s[None], (li, 0, 0, 0, 0))
         k_all = jax.lax.dynamic_update_slice(
             k_all, k.astype(k_all.dtype)[None], (li, 0, 0, 0, 0))
         v_all = jax.lax.dynamic_update_slice(
@@ -281,7 +334,8 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
         x = x + _mlp_block(layer, h, cfg)
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
-    cache = KVCache(k_all, v_all, jnp.asarray(s, jnp.int32))
+    cache = KVCache(k_all, v_all, jnp.asarray(s, jnp.int32),
+                    ks_all, vs_all)
     return logits, x, cache
 
 
@@ -294,18 +348,19 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
     pos = cache.length[None, None]  # [1,1]
     cos, sin = rope_1d_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
     k_all, v_all = cache.k, cache.v
+    ks_all, vs_all = cache.k_scale, cache.v_scale
     for li, layer in enumerate(params["layers"]):
         h = _norm(layer["input_layernorm"], cfg, x)
-        a, (k_all, v_all) = _attn_block(
+        a, (k_all, v_all, ks_all, vs_all) = _attn_block(
             layer, cfg, h, cos, sin, causal=False,
-            cache_kv=(k_all, v_all, li), cache_len=cache.length,
-            interpret=interpret)
+            cache_kv=(k_all, v_all, ks_all, vs_all, li),
+            cache_len=cache.length, interpret=interpret)
         x = x + a
         h = _norm(layer["post_attention_layernorm"], cfg, x)
         x = x + _mlp_block(layer, h, cfg)
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
-    cache = KVCache(k_all, v_all, cache.length + 1)
+    cache = KVCache(k_all, v_all, cache.length + 1, ks_all, vs_all)
     return logits, x, cache
 
 

@@ -61,19 +61,28 @@ def attention_reference(q, k, v, *, causal: bool = False,
                         scale: Optional[float] = None,
                         kv_valid_len: Optional[int] = None,
                         kv_mask=None, window: Optional[int] = None,
-                        alibi: bool = False, q_positions=None):
+                        alibi: bool = False, q_positions=None,
+                        k_scale=None, v_scale=None):
     """Plain softmax attention. q:[B,Hq,Sq,D] k,v:[B,Hkv,Skv,D] -> [B,Hq,Sq,D].
 
     kv_mask: optional bool [B, Skv]; False keys are masked out (fixed-slot
     memory banks with invalid slots). window: Mistral-style sliding window
     (keys older than `window` positions are masked). alibi: MPT-style
-    additive linear position bias per head."""
+    additive linear position bias per head.
+
+    k_scale/v_scale: optional f32 [B, Hkv, Skv] for int8-quantized K/V
+    (kv_cache_int8 serving): the dots read the int8 planes directly (the
+    int8->bf16 convert fuses into the MXU operand) and the per-key scales
+    fold in EXACTLY — into the logits after the QK dot, and into the
+    softmax weights before the PV dot."""
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
     assert Hq % Hkv == 0, (Hq, Hkv)
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     group = Hq // Hkv
+    if k.dtype != q.dtype:
+        k = k.astype(q.dtype)  # pure convert, fused into the dot operand
     if group > 1:
         # GQA without materializing repeated K/V (a 4x KV-cache HBM tax at
         # decode): fold the group into the query-sequence axis — q heads
@@ -82,10 +91,14 @@ def attention_reference(q, k, v, *, causal: bool = False,
         qg = q.reshape(B, Hkv, group * Sq, D)
         s = jnp.einsum("bhqd,bhkd->bhqk", qg, k,
                        preferred_element_type=jnp.float32) * scale
+        if k_scale is not None:
+            s = s * k_scale[:, :, None, :]
         s = s.reshape(B, Hq, Sq, Skv)
     else:
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                        preferred_element_type=jnp.float32) * scale
+        if k_scale is not None:
+            s = s * k_scale[:, :, None, :]
     # rel = key pos minus query pos; queries default to the sequence end,
     # q_positions ([Sq] absolute key-space positions) overrides (cached
     # decode, where the query sits at cache_len, not Skv-1)
@@ -107,13 +120,20 @@ def attention_reference(q, k, v, *, causal: bool = False,
     if kv_mask is not None:
         s = jnp.where(kv_mask[:, None, None, :], s, _MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
+    p_dtype = q.dtype if v_scale is not None else v.dtype
     if group > 1:
         pg = p.reshape(B, Hkv, group * Sq, Skv)
-        out = jnp.einsum("bhqk,bhkd->bhqd", pg.astype(v.dtype), v,
+        if v_scale is not None:
+            pg = pg * v_scale[:, :, None, :]
+        out = jnp.einsum("bhqk,bhkd->bhqd", pg.astype(p_dtype),
+                         v.astype(p_dtype) if v.dtype != p_dtype else v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(B, Hq, Sq, D)
     else:
-        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        if v_scale is not None:
+            p = p * v_scale[:, :, None, :]
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(p_dtype),
+                         v.astype(p_dtype) if v.dtype != p_dtype else v,
                          preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
