@@ -229,6 +229,12 @@ def run_inference(args, model=None):
     # replicated. Eager dispatch follows the data, so no mesh context is
     # needed — GSPMD inserts the TP collectives inside greedy_generate
     # (token-exact vs single-device: tests/test_tp_serving.py).
+    if getattr(args, "kv_cache_int8", False):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, kv_cache_int8=True))
+
     mp = int(getattr(args, "model_parallel", 1) or 1)
     if mp > 1:
         import jax
@@ -355,6 +361,8 @@ def parse_args():
     p.add_argument("--load_4bit", action="store_true")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="shard the LLM over N chips (tensor parallel)")
+    p.add_argument("--kv_cache_int8", action="store_true",
+                   help="int8 KV cache (halves decode cache HBM reads)")
     return p.parse_args()
 
 
