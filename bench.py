@@ -610,22 +610,7 @@ def main():
     ids = ([1, 2, 3, 4, 5] if args.all
            else [int(x) for x in args.configs.split(",")])
 
-    results = {}
-    for i in ids:
-        try:
-            r = BENCHES[i]()
-        except Exception as e:  # keep the headline alive if one config dies
-            r = {"config": i, "error": f"{type(e).__name__}: {e}"}
-        results[i] = r
-        _eprint(r)
-        if len(ids) > 1:
-            # drop executables + their pinned buffers between configs so a
-            # big config (8B-slice LLM) can't OOM the next one's HBM
-            import jax
-
-            jax.clear_caches()
-
-    if len(results) > 1:
+    def merge_detail(results):
         # merge into the existing detail file: a partial run (--configs 1,2)
         # must not drop the measured entries of configs it didn't touch
         detail = {}
@@ -637,6 +622,24 @@ def main():
         detail.update({str(k): v for k, v in results.items()})
         with open("BENCH_DETAIL.json", "w") as fh:
             json.dump(dict(sorted(detail.items())), fh, indent=1)
+
+    results = {}
+    for i in ids:
+        try:
+            r = BENCHES[i]()
+        except Exception as e:  # keep the headline alive if one config dies
+            r = {"config": i, "error": f"{type(e).__name__}: {e}"}
+        results[i] = r
+        _eprint(r)
+        if len(ids) > 1:
+            # write after EVERY config: a tunnel drop / timeout mid-run
+            # must not lose the configs already measured
+            merge_detail(results)
+            # drop executables + their pinned buffers between configs so a
+            # big config (8B-slice LLM) can't OOM the next one's HBM
+            import jax
+
+            jax.clear_caches()
 
     head = results.get(3) or next(iter(results.values()))
     print(json.dumps({
