@@ -72,6 +72,37 @@ def test_odd_in_dim_stays_fp():
     assert "kernel" in out and "kernel_q4a" not in out
 
 
+def test_int4_llava_generate_e2e():
+    """Full multimodal generate with a W4A8-quantized LLM (the
+    --load_4bit serving path end to end: encode + splice + prefill +
+    while-loop decode through the packed dispatch)."""
+    import jax as _jax
+
+    from video_llava_seg_tpu.config import VideoLlavaConfig
+    from video_llava_seg_tpu.constants import IMAGE_TOKEN_INDEX
+    from video_llava_seg_tpu.models import llava
+
+    cfg = VideoLlavaConfig.tiny()
+    params = llava.init(_jax.random.PRNGKey(6), cfg)
+    params = dict(params)
+    params["llm"] = quantize_tree(params["llm"], bits=4, act_quant=True,
+                                  min_size=0)
+
+    tpi = llava.visual_tokens_per_sample(cfg)
+    ids = np.concatenate([
+        np.asarray([[1, 2]]),
+        np.full((1, len(tpi)), IMAGE_TOKEN_INDEX),
+        np.asarray([[3]]),
+    ], axis=1)
+    video = np.zeros((1, cfg.num_frames, cfg.vision.image_size,
+                      cfg.vision.image_size, 3), np.float32)
+    toks, hidden, n = llava.generate(params, cfg, ids, video,
+                                     max_new_tokens=3,
+                                     eos_token_ids=(9999,))
+    assert int(n) == 3
+    assert bool(jnp.all(jnp.isfinite(hidden)))
+
+
 def test_int4_llm_decodes_and_halves_weight_bytes():
     from video_llava_seg_tpu.config import LlamaConfig
     from video_llava_seg_tpu.models import llama
