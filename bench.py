@@ -641,10 +641,10 @@ def main():
             r = {"config": i, "error": f"{type(e).__name__}: {e}"}
         results[i] = r
         _eprint(r)
+        # write after EVERY config (single-config runs included): a tunnel
+        # drop / timeout mid-run must not lose the configs already measured
+        merge_detail(results)
         if len(ids) > 1:
-            # write after EVERY config: a tunnel drop / timeout mid-run
-            # must not lose the configs already measured
-            merge_detail(results)
             # drop executables + their pinned buffers between configs so a
             # big config (8B-slice LLM) can't OOM the next one's HBM
             import jax

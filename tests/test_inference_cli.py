@@ -206,8 +206,12 @@ def test_load_model_orbax_and_quant_gates(tmp_path):
         seg_token_idx=400)
     params = llava.init(jax.random.PRNGKey(0), cfg)
     ckpt = tmp_path / "ckpt"
-    ocp.StandardCheckpointer().save(
-        (ckpt / "state").resolve(), {"params": params})
+    # StandardCheckpointer is async: without the wait, load_model below can
+    # race an uncommitted checkpoint (flaky under full-suite load) and the
+    # pending commit then dies at interpreter shutdown
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((ckpt / "state").resolve(), {"params": params})
+    ckptr.wait_until_finished()
     with open(ckpt / "config.json", "w") as fh:
         fh.write(to_json(cfg))
 
