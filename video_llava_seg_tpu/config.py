@@ -328,6 +328,13 @@ class TrainConfig:
     # stage-1: also persist the projector alone (mm_projector.bin parity,
     # train.py:144-171)
     save_projector_only: bool = False
+    # k-bit training (QLoRA equivalent): quantize the LLM to weight-only
+    # int8 before training (reference train.py:395-426: BitsAndBytes
+    # bits=4/8 + prepare_model_for_kbit_training). The quantized base is
+    # frozen (ints are never trainable); adapters/other components train.
+    # Weight-only (not W8A8): dynamic activation rounding has zero gradient,
+    # so the int8-MXU paths are serving-only. bits=None -> full precision.
+    bits: Optional[int] = None
     # LoRA (data_classes.py:85-89 defaults; adapters over LLM projections,
     # base LLM frozen; merged on-the-fly each step — see train/lora.py)
     lora_enable: bool = False

@@ -47,6 +47,17 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(p, x):
+    # Optional LoRA side branch attached to the param dict (QLoRA path:
+    # the base kernel stays int8/packed, so the adapter cannot be folded
+    # into it — train/lora.py::merge attaches {"a","b","s"} here instead).
+    # y = base(x) + ((x @ a) @ b) * s, rank-r factors never materialize a
+    # bf16 copy of the base weights.
+    lora = p.get("lora")
+    if lora is not None:
+        base = {k: v for k, v in p.items() if k != "lora"}
+        xa = jnp.dot(x, lora["a"].astype(x.dtype))
+        delta = jnp.dot(xa, lora["b"].astype(x.dtype))
+        return dense(base, x) + delta * lora["s"].astype(x.dtype)
     if "kernel_q4a" in p:
         # W4A8 (ops/int4.py): nibble-packed int4 weights unpacked in-kernel
         # to int8 + dynamic per-row int8 activations — half the int8

@@ -35,6 +35,19 @@ def target_names(qv_proj_only: bool = False) -> Tuple[str, ...]:
     return _QV_ONLY_TARGETS if qv_proj_only else _DEFAULT_TARGETS
 
 
+# Quantized kernel leaves (ops/quantization.py, ops/int4.py). Adapters over
+# a quantized base = the reference's QLoRA path (train.py:395-426:
+# BitsAndBytes bits=4/8 + prepare_model_for_kbit_training + LoRA).
+_QKEYS = ("kernel_q", "kernel_qa", "kernel_q4a")
+
+
+def _kernel_dims(key: str, leaf) -> Tuple[int, int]:
+    """(in_dim, out_dim) of a dense kernel leaf, packed formats included."""
+    if key == "kernel_q4a":                  # nibble-packed [in/2, out]
+        return 2 * leaf.shape[0], leaf.shape[1]
+    return leaf.shape[0], leaf.shape[1]
+
+
 def _walk(tree: Any, fn, path: Tuple[str, ...] = ()):  # dict/list recursion
     if isinstance(tree, dict):
         out = {}
@@ -58,12 +71,13 @@ def init_lora(rng, params: Dict, rank: int = 64,
     counter = [0]
 
     def make(path, leaf):
-        if (len(path) < 3 or path[0] != subtree or path[-1] != "kernel"
+        if (len(path) < 3 or path[0] != subtree
+                or path[-1] not in ("kernel",) + _QKEYS
                 or path[-2] not in targets or leaf.ndim != 2):
             return None
         counter[0] += 1
         key = jax.random.fold_in(rng, counter[0])
-        in_dim, out_dim = leaf.shape
+        in_dim, out_dim = _kernel_dims(path[-1], leaf)
         a = (jax.random.normal(key, (in_dim, rank), dtype)
              / jnp.sqrt(jnp.asarray(rank, dtype)))
         return {"a": a, "b": jnp.zeros((rank, out_dim), dtype)}
@@ -83,10 +97,13 @@ def merge(params: Dict, lora_params: Optional[Dict], alpha: float = 16.0,
     if lora_params is None:
         return params
 
+    def is_adapter(x):
+        return isinstance(x, dict) and set(x) == {"a", "b"}
+
     def go(base, lora):
         if lora is None:
             return base
-        if isinstance(lora, dict) and set(lora) == {"a", "b"}:
+        if is_adapter(lora):
             kernel = base  # adapter sits AT the kernel leaf
             if stop_base_gradient:
                 kernel = jax.lax.stop_gradient(kernel)
@@ -94,6 +111,24 @@ def merge(params: Dict, lora_params: Optional[Dict], alpha: float = 16.0,
             delta = (lora["a"] @ lora["b"]) * (alpha / r)
             return kernel + delta.astype(kernel.dtype)
         if isinstance(base, dict):
+            qkeys = [k for k in _QKEYS
+                     if k in base and isinstance(lora, dict)
+                     and is_adapter(lora.get(k))]
+            if qkeys:
+                # quantized base (QLoRA): the int8/packed kernel cannot
+                # absorb the delta — attach the adapter to the param dict;
+                # ops/nn.py::dense adds ((x@a)@b)*s as a side branch so no
+                # bf16 copy of the base weights ever materializes
+                (k,) = qkeys
+                ad = lora[k]
+                r = rank if rank is not None else ad["a"].shape[1]
+                out = dict(base)
+                if stop_base_gradient:
+                    out["kernel_scale"] = jax.lax.stop_gradient(
+                        out["kernel_scale"])
+                out["lora"] = {"a": ad["a"], "b": ad["b"],
+                               "s": jnp.asarray(alpha / r, jnp.float32)}
+                return out
             return {k: (go(v, lora.get(k)) if isinstance(lora, dict) else v)
                     for k, v in base.items()}
         if isinstance(base, (list, tuple)):
@@ -108,5 +143,10 @@ def merge(params: Dict, lora_params: Optional[Dict], alpha: float = 16.0,
 def merge_into(params: Dict, lora_params: Optional[Dict],
                alpha: float = 16.0) -> Dict:
     """Permanently bake adapters into the base tree (merge_and_unload
-    equivalent, for checkpoint export and inference)."""
+    equivalent, for checkpoint export and inference).
+
+    Quantized base kernels (QLoRA) cannot absorb the delta into int8;
+    those adapters are attached to the param dict instead ({"lora": ...}),
+    which ops/nn.py::dense applies — the exported tree is self-contained
+    either way."""
     return merge(params, lora_params, alpha, stop_base_gradient=False)

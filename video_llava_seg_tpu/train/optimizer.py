@@ -51,6 +51,38 @@ def param_labels(params):
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def frozen_components(cfg: TrainConfig) -> Dict[str, bool]:
+    """Which optimizer components receive no updates (freeze policy +
+    peft semantics: LoRA implies frozen base LLM, train.py:410-426)."""
+    return {
+        "llm": cfg.freeze_llm or cfg.lora_enable,
+        "vision_tower": cfg.freeze_vision_tower,
+        "projector": cfg.freeze_projector,
+        "seg_encoder": cfg.freeze_seg_encoder,
+        "seg_decoder": cfg.freeze_seg_decoder,
+        "lora": not cfg.lora_enable,
+    }
+
+
+def trainable_mask(cfg: TrainConfig, params):
+    """Per-leaf python-bool tree: True where the optimizer will update.
+
+    Integer leaves (int8/int4-packed quantized kernels) are never
+    trainable regardless of component. train_step uses this to ZERO
+    frozen gradients right after the backward pass — XLA then dead-codes
+    the frozen components' weight-grad computations entirely, and the
+    reported grad_norm covers trainable params only (HF Trainer
+    semantics: the clip norm is over params requiring grad)."""
+    frozen = frozen_components(cfg)
+
+    def f(path, leaf):
+        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
+            return False
+        return not frozen[component_of(_path_str(path))]
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def build_optimizer(cfg: TrainConfig, params):
     """Returns an optax GradientTransformation over the full param tree."""
     lrs = {
@@ -61,15 +93,7 @@ def build_optimizer(cfg: TrainConfig, params):
         "seg_decoder": cfg.lrs.seg_decoder,
         "lora": cfg.lrs.lora,
     }
-    frozen = {
-        # LoRA implies frozen base LLM (train.py:410-426 peft semantics)
-        "llm": cfg.freeze_llm or cfg.lora_enable,
-        "vision_tower": cfg.freeze_vision_tower,
-        "projector": cfg.freeze_projector,
-        "seg_encoder": cfg.freeze_seg_encoder,
-        "seg_decoder": cfg.freeze_seg_decoder,
-        "lora": not cfg.lora_enable,
-    }
+    frozen = frozen_components(cfg)
     warmup = max(1, int(cfg.warmup_ratio * cfg.num_train_steps))
     # keep decay_steps positive on tiny runs (warmup must be < total)
     warmup = min(warmup, max(1, cfg.num_train_steps - 1))

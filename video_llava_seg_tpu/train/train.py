@@ -174,6 +174,24 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
         )
         verify_config_consistency(cfg, restore_weights)
         params = load_llava_weights(restore_weights, cfg, params)
+    if tcfg.bits:
+        # k-bit training (reference --bits 4/8 + prepare_model_for_kbit_
+        # training, train.py:395-426): quantize the LLM to weight-only
+        # int8 — the 8B base drops 16 -> ~8 GB, which is what fits a
+        # QLoRA-style stage-3 fine-tune on one 16 GB v5e. Quantized (int)
+        # leaves are never trainable (train/optimizer.py::trainable_mask);
+        # the LLM must therefore be frozen or LoRA-adapted.
+        if not (tcfg.freeze_llm or tcfg.lora_enable):
+            raise ValueError("bits requires freeze_llm or lora_enable "
+                             "(the quantized base cannot take grads)")
+        if tcfg.bits != 8:
+            raise ValueError("training supports weight-only int8 only "
+                             "(int4/W8A8 activation rounding has zero "
+                             "gradient; those paths are serving-only)")
+        from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+        params["llm"] = jax.jit(
+            lambda t: quantize_tree(t, bits=tcfg.bits))(params["llm"])
     if tcfg.lora_enable:
         from video_llava_seg_tpu.train import lora as lora_mod
 
@@ -279,6 +297,9 @@ def main():
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--restore_weights", default=None)
     ap.add_argument("--save_steps", type=int, default=2000)
+    ap.add_argument("--bits", type=int, default=None, choices=(8,),
+                    help="k-bit training: weight-only int8 LLM base "
+                         "(QLoRA with --lora_enable; reference --bits)")
     ap.add_argument("--lora_enable", action="store_true")
     ap.add_argument("--lora_rank", type=int, default=64)
     ap.add_argument("--lora_alpha", type=float, default=16.0)
@@ -312,6 +333,7 @@ def main():
         freeze_llm=preset.get("freeze_llm", False),
         freeze_vision_tower=preset.get("freeze_vision_tower", False),
         save_projector_only=preset.get("save_projector_only", False),
+        bits=args.bits,
         lora_enable=args.lora_enable, lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
         lrs=OptimGroupLRs(**lr_over),

@@ -146,12 +146,34 @@ def make_train_step(cfg: VideoLlavaConfig, tcfg: TrainConfig, tx,
                             ce_w=tcfg.mask_ce_weight)
 
     def step_fn(state: TrainState, batch: Dict, rng):
+        # allow_int: a quantized (QLoRA) base carries int8/packed kernels;
+        # their float0 cotangents are replaced below. Zeroing FROZEN
+        # components' grads right here (not in the optimizer) lets XLA
+        # dead-code their weight-grad einsums out of the backward pass —
+        # activations still backprop THROUGH frozen blocks, but the
+        # per-weight grads (~1/3 of backward FLOPs per frozen component)
+        # are never computed — and makes grad_norm cover trainable params
+        # only (HF Trainer clips over params requiring grad).
+        from video_llava_seg_tpu.train.optimizer import trainable_mask
+
+        mask = trainable_mask(tcfg, state.params)
         grad_fn = jax.value_and_grad(
-            lambda p: loss_of(p, batch, rng), has_aux=True)
+            lambda p: loss_of(p, batch, rng), has_aux=True, allow_int=True)
         (loss, metrics), grads = grad_fn(state.params)
+        grads = jax.tree_util.tree_map(
+            # int (quantized) params get FLOAT zero grads: optax's clip
+            # can't scale int8, and apply_updates casts back to the param
+            # dtype anyway, so the int8 base stays bit-identical
+            lambda m, g, p: g if m else jnp.zeros(
+                p.shape,
+                p.dtype if jnp.issubdtype(p.dtype, jnp.inexact)
+                else jnp.float32),
+            mask, grads, state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = optax.global_norm(
+            [g for m, g in zip(jax.tree_util.tree_leaves(mask),
+                               jax.tree_util.tree_leaves(grads)) if m])
         return TrainState(state.step + 1, params, opt_state), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
