@@ -90,6 +90,44 @@ def test_text_ce_matches_torch():
     np.testing.assert_allclose(float(j), ref.item(), rtol=1e-5)
 
 
+def test_text_ce_fused_matches_full():
+    """Chunked fused lm-head CE == text_ce_loss(unembed(hidden)) in value
+    AND gradients (incl. non-chunk-divisible token counts)."""
+    from video_llava_seg_tpu.config import LlamaConfig
+    from video_llava_seg_tpu.models import llama
+
+    rng = np.random.RandomState(0)
+    b, s, d, v = 2, 13, 16, 29
+    cfg = LlamaConfig(hidden_size=d, vocab_size=v, num_layers=1,
+                      num_heads=2, num_kv_heads=2, intermediate_size=32)
+    kernel = rng.randn(d, v).astype(np.float32) * 0.2
+    params = {"lm_head": {"kernel": jnp.asarray(kernel)}}
+    hidden = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+    labels = rng.randint(0, v, (b, s))
+    labels[0, :4] = IGNORE_INDEX
+    labels = jnp.asarray(labels)
+
+    def full(h, p):
+        return losses.text_ce_loss(llama.unembed(p, cfg, h), labels)[0]
+
+    def fused(h, p):
+        return losses.text_ce_loss_fused(p, cfg, h, labels, chunk=8)[0]
+
+    lf, gf = jax.value_and_grad(full, argnums=(0, 1))(hidden, params)
+    lc, gc = jax.value_and_grad(fused, argnums=(0, 1))(hidden, params)
+    np.testing.assert_allclose(float(lc), float(lf), rtol=1e-5)
+    for a, bb in zip(jax.tree_util.tree_leaves(gf),
+                     jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=1e-5)
+    # counts agree too
+    n_full = losses.text_ce_loss(llama.unembed(params, cfg, hidden),
+                                 labels)[1]
+    n_fused = losses.text_ce_loss_fused(params, cfg, hidden, labels,
+                                        chunk=8)[1]
+    assert int(n_full) == int(n_fused)
+
+
 def test_pixel_mask_restricts_loss():
     pred = jnp.ones((1, 1, 8, 8)) * 5.0
     gt = jnp.ones((1, 1, 8, 8), bool)

@@ -75,7 +75,7 @@ def init(key, cfg: LlamaConfig, dtype=jnp.float32):
 
 def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
                    dtype=jnp.bfloat16, min_size: int = 1 << 16,
-                   act_quant: bool = False):
+                   act_quant: bool = False, train_mode: bool = False):
     """Initialize directly into quantized form, one jitted layer at a
     time, so peak HBM is the int8 tree plus ONE bf16 layer.
 
@@ -96,7 +96,8 @@ def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
 
     layer_q = jax.jit(
         lambda k: quantize_tree(init_layer(k, cfg, dtype), bits=bits,
-                                min_size=min_size, act_quant=act_quant))
+                                min_size=min_size, act_quant=act_quant,
+                                train_mode=train_mode))
     p = {
         "embed_tokens": nn.embedding_init(keys[0], cfg.vocab_size, d, dtype),
         "layers": [jax.block_until_ready(layer_q(keys[i + 2]))
@@ -106,7 +107,8 @@ def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
     if not cfg.tie_word_embeddings:
         head_q = jax.jit(lambda k: quantize_tree(
             nn.dense_init(k, d, cfg.vocab_size, bias=False, dtype=dtype),
-            bits=bits, min_size=min_size, act_quant=act_quant))
+            bits=bits, min_size=min_size, act_quant=act_quant,
+            train_mode=train_mode))
         p["lm_head"] = jax.block_until_ready(head_q(keys[1]))
     return p
 
@@ -260,15 +262,20 @@ def _mlp_block(layer, x, cfg: LlamaConfig = None):
 
 
 def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
-            attn_mask=None, interpret: bool = False, remat: bool = False):
+            attn_mask=None, interpret: bool = False, remat: bool = False,
+            return_logits: bool = True):
     """Full forward (training / prefill without cache).
 
     inputs_embeds: [B, S, D]; position_ids: [B, S] or [S];
     attn_mask: optional [B, S] bool (right padding can omit it).
     remat: rematerialize each decoder block on the backward pass
     (HF --gradient_checkpointing equivalent, stage3_with_seg.sh:65).
+    return_logits=False skips the unembed entirely (training uses the
+    chunked fused lm-head+CE in train/losses.py — a full fp32 [S, V]
+    logits buffer is ~2.5 GB at the 5k-token budget and its cotangent
+    doubles that, which is what OOMed the full-depth train step).
 
-    Returns (logits fp32 [B, S, V], hidden_states post-norm [B, S, D])."""
+    Returns (logits fp32 [B, S, V] or None, hidden post-norm [B, S, D])."""
     from video_llava_seg_tpu.parallel.mesh import (
         maybe_constrain,
         maybe_constrain_grad,
@@ -298,6 +305,8 @@ def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
     for layer in params["layers"]:
         x = block(layer, x, cos, sin, attn_mask)
     x = _norm(params["norm"], cfg, x)
+    if not return_logits:
+        return None, x
     logits = unembed(params, cfg, x)
     return logits, x
 

@@ -197,19 +197,23 @@ def assemble_embeds(params, plan_text_ids, gather_idx, visual_flat):
 # ---------------------------------------------------------------------------
 
 def forward(params, cfg: VideoLlavaConfig, video, plan: Dict,
-            interpret: bool = False, remat: bool = False):
+            interpret: bool = False, remat: bool = False,
+            return_logits: bool = True):
     """Training/eval forward on a spliced batch.
 
     video: [B, T, H, W, 3]; plan: dict of device arrays from
     build_splice_plan. remat = gradient checkpointing on the LLM blocks.
-    Returns (logits, hidden_states)."""
+    return_logits=False skips the unembed (the train step computes text
+    CE with the chunked fused lm-head loss instead — see llama.forward).
+    Returns (logits | None, hidden_states)."""
     slow, fast = encode_video(params, cfg, video, interpret)
     visual = flatten_visual_features(slow, fast)
     embeds = assemble_embeds(params, plan["text_ids"], plan["gather_idx"],
                              visual)
     logits, hidden = llama.forward(params["llm"], cfg.llm, embeds,
                                    plan["position_ids"],
-                                   interpret=interpret, remat=remat)
+                                   interpret=interpret, remat=remat,
+                                   return_logits=return_logits)
     return logits, hidden
 
 

@@ -87,9 +87,20 @@ def dense(p, x):
         # int8 HBM reads) rather than a convert*scale that XLA may
         # materialize as a full bf16 weight copy. int8 values are exact in
         # bf16; accumulation in f32.
-        y = jnp.dot(x, p["kernel_q"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = (y * p["kernel_scale"]).astype(x.dtype)
+        scale = p["kernel_scale"]
+        if scale.dtype == jnp.bfloat16:
+            # train-mode tree (quantize_tree(train_mode=True)): all-bf16
+            # compute so the dot output AND its backward cotangent dots
+            # stay bf16 — the f32 [S, out] temps were the largest HBM
+            # consumers of the full-depth QLoRA step. Serving trees carry
+            # f32 scales and take the exact-accumulation branch below.
+            y = jnp.dot(x, p["kernel_q"].astype(x.dtype),
+                        preferred_element_type=x.dtype)
+            y = y * scale.astype(x.dtype)
+        else:
+            y = jnp.dot(x, p["kernel_q"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+            y = (y * scale).astype(x.dtype)
         if "bias" in p:
             y = y + p["bias"].astype(x.dtype)
         return y

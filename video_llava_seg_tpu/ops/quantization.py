@@ -38,7 +38,8 @@ def dequantize_kernel(q, scale, dtype=jnp.bfloat16):
 def quantize_tree(params, bits: int = 8,
                   min_size: int = 1 << 16,
                   skip: Tuple[str, ...] = ("embed_tokens",),
-                  act_quant: bool = False):
+                  act_quant: bool = False,
+                  train_mode: bool = False):
     """Quantize every dense kernel (2-D 'kernel' leaf) above `min_size`
     elements. Returns a new tree; small kernels / embeddings stay fp.
 
@@ -49,8 +50,18 @@ def quantize_tree(params, bits: int = 8,
     activations per-row and runs an int8xint8 MXU dot (v5e int8 peak is
     ~2x bf16 — the compute-bound-encode win). act_quant=True with bits=4
     (W4A8): kernels stored nibble-PACKED as 'kernel_q4a' (ops/int4.py) —
-    half the int8 path's weight HBM bytes, still int8 MXU dots."""
+    half the int8 path's weight HBM bytes, still int8 MXU dots.
+
+    train_mode (QLoRA frozen-base trees): stores 'kernel_scale' in
+    bfloat16, which switches nn.dense's kernel_q branch to an all-bf16
+    compute path — the dot's output and its backward cotangent dots stay
+    bf16 instead of f32, halving the [S, hidden] temps that dominate the
+    full-depth train step's HBM (measured: 20 live f32 [5248,4096]
+    buffers under remat). Serving trees keep f32 scales and exact f32
+    accumulation (int8 greedy decode matches bf16 tokens exactly)."""
     assert bits in _QMAX, bits
+    assert not (train_mode and act_quant), \
+        "act-quant rounding has no gradient; train_mode is weight-only"
     key_out = ("kernel_qa" if act_quant and bits == 8
                else "kernel_q4a" if act_quant else "kernel_q")
 
@@ -67,7 +78,8 @@ def quantize_tree(params, bits: int = 8,
                     q = pack_int4(q)
                 out = {k: v for k, v in tree.items() if k != "kernel"}
                 out[key_out] = q
-                out["kernel_scale"] = scale
+                out["kernel_scale"] = (scale.astype(jnp.bfloat16)
+                                       if train_mode else scale)
                 return out
             return {k: go(v, path + (k,)) for k, v in tree.items()}
         if isinstance(tree, (list, tuple)):

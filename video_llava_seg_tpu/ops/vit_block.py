@@ -42,6 +42,12 @@ from video_llava_seg_tpu.ops.hiera_block import (
 
 _MASK = -1e30
 
+# Opt-in switch for the fused W8A8 megakernel on real TPUs — see the
+# routing comment in vit_layer(): it intermittently faults the worker at
+# the CLIP-L serving shape, so hardware defaults to the stable XLA W8A8
+# path until root-caused. Interpret-mode tests always exercise the kernel.
+FUSED_I8_ON_TPU = False
+
 
 def _quick_gelu_f32(x):
     """CLIP's quick_gelu: x * sigmoid(1.702 x) (f32)."""
@@ -496,10 +502,26 @@ def vit_layer(p, x, *, num_heads: int, eps: float, kv_len: int = -1,
                              kv_len=kv_len, act=act_f)
     assert backend == "pallas", backend
     if qk == "w8a8":
-        # forward-only (inference) fused int8 path
-        return _vit_layer_pallas_i8(x, _flat_weights_i8(p),
-                                    num_heads=num_heads, eps=eps,
-                                    kv_len=kv_len, act=act,
-                                    interpret=interpret)
+        # forward-only (inference) fused int8 path. OFF on hardware by
+        # default: at the CLIP-L serving shape it intermittently faults
+        # the TPU worker (nondeterministic — same executable passes and
+        # crashes across runs; the structurally identical bf16 kernel is
+        # stable, so the int8 weight DMAs are implicated; measured 3
+        # crashes / 5 runs at 128x584x1024, 2026-08-18). The XLA W8A8
+        # path (nn.dense kernel_qa) is stable and was within noise of the
+        # fused kernel at ViT widths (BENCH_NOTES: W8A8 is a wash at
+        # D=1024), so stability wins until the fault is root-caused.
+        if FUSED_I8_ON_TPU or interpret:
+            return _vit_layer_pallas_i8(x, _flat_weights_i8(p),
+                                        num_heads=num_heads, eps=eps,
+                                        kv_len=kv_len, act=act,
+                                        interpret=interpret)
+        if act == "quick_gelu":
+            act_f = _xla_quick_gelu
+        else:
+            from video_llava_seg_tpu.ops import nn
+            act_f = nn.gelu
+        return vit_layer_xla(p, x, num_heads=num_heads, eps=eps,
+                             kv_len=kv_len, act=act_f)
     static = (num_heads, eps, kv_len, act, interpret)
     return _vl(static, x, _flat_weights(p))

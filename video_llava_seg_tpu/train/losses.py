@@ -43,6 +43,52 @@ def text_ce_loss(logits, labels):
     return jnp.sum(nll) / n, jnp.sum(valid)
 
 
+def text_ce_loss_fused(llm_params, llm_cfg, hidden, labels, chunk=512):
+    """Chunked fused lm-head + CE: numerically equal to
+    `text_ce_loss(unembed(hidden), labels)` without ever materializing the
+    full fp32 [S, V] logits (2.5 GB at the 5k-token budget, and its
+    cotangent doubles it — the allocation that OOMed the full-depth
+    QLoRA step on a 16 GB chip).
+
+    hidden: [B, S, D] post-norm; labels: [B, S]. Tokens are flattened,
+    shifted, padded to a chunk multiple, and processed by a rematerialized
+    `lax.map` — live memory is one [chunk, V] fp32 logits buffer forward
+    and one on backward (the chunk's logits recompute from hidden).
+    lm-head weight grads accumulate across chunks inside the map's
+    transpose scan."""
+    from video_llava_seg_tpu.models import llama
+
+    b, s, d = hidden.shape
+    h = hidden[:, :-1].reshape(b * (s - 1), d)
+    y = labels[:, 1:].reshape(b * (s - 1))
+    valid = y != IGNORE_INDEX
+    y_safe = jnp.where(valid, y, 0)
+
+    n_tok = h.shape[0]
+    pad = (-n_tok) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        y_safe = jnp.pad(y_safe, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    nc = h.shape[0] // chunk
+
+    @jax.checkpoint
+    def chunk_nll(args):
+        hc, yc, mc = args
+        logits = llama.unembed(llm_params, llm_cfg,
+                               hc).astype(jnp.float32)   # [chunk, V]
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, yc[:, None], axis=-1)[:, 0]
+        mf = mc.astype(jnp.float32)
+        return jnp.sum((lse - gold) * mf), jnp.sum(mf)
+
+    sums, counts = jax.lax.map(
+        chunk_nll, (h.reshape(nc, chunk, d), y_safe.reshape(nc, chunk),
+                    valid.reshape(nc, chunk)))
+    n = jnp.maximum(jnp.sum(counts), 1.0)
+    return jnp.sum(sums) / n, jnp.sum(counts).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # mask losses (mask_loss.py parity)
 # ---------------------------------------------------------------------------

@@ -191,7 +191,8 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
         from video_llava_seg_tpu.ops.quantization import quantize_tree
 
         params["llm"] = jax.jit(
-            lambda t: quantize_tree(t, bits=tcfg.bits))(params["llm"])
+            lambda t: quantize_tree(t, bits=tcfg.bits,
+                                    train_mode=True))(params["llm"])
     if tcfg.lora_enable:
         from video_llava_seg_tpu.train import lora as lora_mod
 

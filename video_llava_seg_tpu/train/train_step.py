@@ -46,9 +46,13 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
     [B,N,Ts,h,w] bool, seg_valid [B,N] bool, seg_token_pos [B,N] int
     (position of each [SEG]'s producing hidden state, -1 = none),
     has_masks [B] bool (caption-only samples take the dummy path)."""
-    logits, hidden = llava.forward(params, cfg, batch["video"], batch,
-                                   interpret=interpret, remat=remat)
-    loss_text, num_tok = losses.text_ce_loss(logits, batch["labels"])
+    _, hidden = llava.forward(params, cfg, batch["video"], batch,
+                              interpret=interpret, remat=remat,
+                              return_logits=False)
+    # chunked fused lm-head + CE: equal to text_ce_loss(unembed(hidden))
+    # without the full fp32 [S, V] logits buffer (see losses.py)
+    loss_text, num_tok = losses.text_ce_loss_fused(
+        params["llm"], cfg.llm, hidden, batch["labels"])
     metrics = {"loss_text": loss_text, "num_text_tokens": num_tok}
     total = loss_text
 
