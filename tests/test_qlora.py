@@ -147,3 +147,135 @@ def test_train_cli_bits_validation():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "bits" in str(e)
+
+
+def test_qlora_resume_bitwise(tmp_path):
+    """Checkpoint-resume with a quantized base is bitwise-equivalent to an
+    uninterrupted run (int8 kernels + bf16 scales survive the orbax
+    round-trip; adapters + trainable components restore exactly)."""
+    import itertools
+
+    import pytest
+
+    from video_llava_seg_tpu.config import OptimGroupLRs
+    from video_llava_seg_tpu.constants import IMAGE_TOKEN_INDEX
+    from video_llava_seg_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+    from video_llava_seg_tpu.train.trainer import (
+        latest_checkpoint,
+        train_loop,
+    )
+
+    def setup(output_dir, n):
+        cfg = VideoLlavaConfig.tiny()
+        from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+        params = llava.init(jax.random.PRNGKey(0), cfg)
+        params["llm"] = quantize_tree(params["llm"], bits=8, min_size=0,
+                                      train_mode=True)
+        tcfg = TrainConfig(
+            num_train_steps=n, save_steps=3, logging_steps=1,
+            bits=8, lora_enable=True, lora_rank=4, warmup_ratio=0.0,
+            gradient_accumulation_steps=1, gradient_checkpointing=False,
+            output_dir=output_dir,
+            lrs=OptimGroupLRs(projector=1e-3, lora=1e-3))
+        params["lora"] = lora.init_lora(jax.random.PRNGKey(1), params, 4)
+        state, tx = create_train_state(params, tcfg)
+        step_fn = make_train_step(cfg, tcfg, tx, donate=False)
+        tpi = llava.visual_tokens_per_sample(cfg)
+        ids = np.concatenate([
+            np.asarray([[1, 2]]), np.full((1, len(tpi)), IMAGE_TOKEN_INDEX),
+            np.asarray([[3, 4]])], axis=1)
+        plan = llava.build_splice_plan(ids, tpi, labels=ids)
+        batch = {
+            "video": jnp.zeros((1, cfg.num_frames, cfg.vision.image_size,
+                                cfg.vision.image_size, 3), jnp.float32),
+            "text_ids": jnp.asarray(plan.text_ids),
+            "gather_idx": jnp.asarray(plan.gather_idx),
+            "position_ids": jnp.asarray(plan.position_ids),
+            "labels": jnp.asarray(plan.labels),
+        }
+        return tcfg, state, step_fn, batch
+
+    n = 5
+    tcfg_a, state_a, step_a, batch = setup(str(tmp_path / "a"), n)
+    final_a = train_loop(state_a, step_a, itertools.repeat(batch), tcfg_a,
+                         cfg_json="{}")
+
+    tcfg_b, state_b, step_b, _ = setup(str(tmp_path / "b"), n)
+
+    class Crash(Exception):
+        pass
+
+    def dying_iter(k):
+        for _ in range(k):
+            yield batch
+        raise Crash
+
+    with pytest.raises(Crash):
+        train_loop(state_b, step_b, dying_iter(3), tcfg_b, cfg_json="{}")
+    assert latest_checkpoint(str(tmp_path / "b")) is not None
+    tcfg_b2, fresh, step_b2, _ = setup(str(tmp_path / "b"), n)
+    final_b = train_loop(fresh, step_b2, itertools.repeat(batch), tcfg_b2,
+                         cfg_json="{}")
+
+    assert int(final_a.step) == int(final_b.step) == n
+    same = jax.tree_util.tree_map(
+        lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+        final_a.params, final_b.params)
+    assert all(jax.tree_util.tree_leaves(same))
+    # quantized base still int8 after the round-trip
+    assert final_b.params["llm"]["layers"][0]["attn"]["wq"][
+        "kernel_q"].dtype == jnp.int8
+
+
+def test_qlora_multichip_step():
+    """QLoRA composes with the (data, model) mesh: quantized int8 base +
+    adapters shard under the TP/FSDP rules and a train step runs on the
+    virtual 8-device mesh with finite loss and frozen base."""
+    from video_llava_seg_tpu.config import MeshConfig
+    from video_llava_seg_tpu.constants import IMAGE_TOKEN_INDEX
+    from video_llava_seg_tpu.parallel.mesh import create_mesh, shard_params
+    from video_llava_seg_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg, params = _tiny_quantized()
+    tcfg = TrainConfig(lora_enable=True, lora_rank=4, bits=8,
+                       num_train_steps=10, warmup_ratio=0.0,
+                       gradient_checkpointing=True,
+                       gradient_accumulation_steps=1,
+                       mesh=MeshConfig(model_parallel=2))
+    params["lora"] = lora.init_lora(jax.random.PRNGKey(1), params, 4)
+    mesh = create_mesh(tcfg.mesh)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with mesh:
+        params = shard_params(params, mesh, fsdp=False)
+        state, tx = create_train_state(params, tcfg)
+        step_fn = make_train_step(cfg, tcfg, tx, donate=False)
+
+        tpi = llava.visual_tokens_per_sample(cfg)
+        b = 4   # divisible over data axis
+        ids = np.concatenate([
+            np.asarray([[1, 2]] * b),
+            np.full((b, len(tpi)), IMAGE_TOKEN_INDEX),
+            np.asarray([[3, 4]] * b)], axis=1)
+        plan = llava.build_splice_plan(ids, tpi, labels=ids)
+        batch = {
+            "video": jnp.zeros((b, cfg.num_frames, cfg.vision.image_size,
+                                cfg.vision.image_size, 3), jnp.float32),
+            "text_ids": jnp.asarray(plan.text_ids),
+            "gather_idx": jnp.asarray(plan.gather_idx),
+            "position_ids": jnp.asarray(plan.position_ids),
+            "labels": jnp.asarray(plan.labels),
+        }
+        new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+        np.testing.assert_array_equal(
+            np.asarray(state.params["llm"]["layers"][0]["attn"]["wq"][
+                "kernel_q"]),
+            np.asarray(new_state.params["llm"]["layers"][0]["attn"]["wq"][
+                "kernel_q"]))
