@@ -269,19 +269,21 @@ def bench_sam2_video(variants=("large", "tiny"), n_frames=16,
 # ---------------------------------------------------------------------------
 
 def _llm_prefill_decode_times(params, cfg, prefill_len, decode_steps,
-                              iters=4):
-    """Measured prefill s/call and decode s/token for one param tree."""
+                              iters=4, batch=1):
+    """Measured prefill s/call and decode s/step for one param tree.
+    batch > 1 measures batched serving (per-step time covers all rows)."""
     import jax
     import jax.numpy as jnp
 
     from video_llava_seg_tpu.models import llama
 
-    emb = jax.random.normal(jax.random.PRNGKey(1),
-                            (1, prefill_len, cfg.hidden_size), jnp.bfloat16)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (batch, prefill_len, cfg.hidden_size), jnp.bfloat16)
 
     @jax.jit
     def run_prefill(params, emb, salt):
-        cache = llama.init_kv_cache(cfg, 1, prefill_len + decode_steps,
+        cache = llama.init_kv_cache(cfg, batch, prefill_len + decode_steps,
                                     dtype=jnp.bfloat16)
         pos = jnp.arange(prefill_len)[None]
         logits, hidden, cache = llama.prefill(params, cfg, emb + salt, pos,
@@ -298,7 +300,7 @@ def _llm_prefill_decode_times(params, cfg, prefill_len, decode_steps,
 
     @jax.jit
     def run_decode(params, cache, salt):
-        tok = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16) + salt
+        tok = jnp.zeros((batch, 1, cfg.hidden_size), jnp.bfloat16) + salt
 
         def body(c, _):
             logits, h, c2 = llama.decode_step(params, cfg, tok, c)
@@ -604,6 +606,184 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
 # config 6 — QLoRA train step (full-depth int8 base) on one chip
 # ---------------------------------------------------------------------------
 
+def bench_serving(n_frames=16, decode_tokens=64, batches=(1, 2, 4, 8),
+                  decode_curve=False):
+    """Config 7 (beyond BASELINE's five): batched offline serving
+    throughput, clips/s/chip for the full caption+mask pipeline.
+
+    The reference cannot batch inference at all — it hard-asserts
+    batch_size == 1 in the seg-head generate path
+    (llava/model/language_model/llava_llama.py:313) and scales out only by
+    forking one process per GPU (scripts/infer.sh). Here the whole pipeline
+    is batch-native (splice plans are [B, L] gathers, the KV cache carries
+    a batch axis, greedy decode stops per-row), and decode is
+    weight-HBM-bound (~4.5 GB of W4A8 weights stream per step), so serving
+    B clips amortizes that stream: aggregate decode tok/s scales
+    near-linearly in B until the KV-cache reads (per-clip) take over.
+
+    Model: full-depth 32-layer W4A8 LLM + int8 KV cache + bf16 CLIP-L
+    tower + bf16 SAM2 seg head — the fastest measured serving ladder from
+    configs 4/5."""
+    import dataclasses
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_llava_seg_tpu.config import (
+        LlamaConfig,
+        ProjectorConfig,
+        SegHeadConfig,
+        VideoLlavaConfig,
+        VisionTowerConfig,
+    )
+    from video_llava_seg_tpu.constants import IMAGE_TOKEN_INDEX
+    from video_llava_seg_tpu.models import llama, llava
+    from video_llava_seg_tpu.models import seg_head as seg_head_mod
+
+    vis = VisionTowerConfig(name="clip-vit-large-336")
+    llm_cfg = dataclasses.replace(LlamaConfig(), kv_cache_int8=True)
+    cfg = VideoLlavaConfig(
+        llm=llm_cfg,
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=vis.hidden_size,
+                                  hidden_size=4096),
+        seg=SegHeadConfig(seg_backbone="sam2.1-hiera-small",
+                          max_seg_frames=8),
+        num_frames=n_frames, num_slow_frames=8, seg_token_idx=128010)
+    cfg_stub = dataclasses.replace(
+        cfg, llm=dataclasses.replace(llm_cfg, num_layers=1))
+    params = llava.init(jax.random.PRNGKey(0), cfg_stub, dtype=jnp.bfloat16)
+    # UNROLLED layer layout on purpose: the scanned (stack_layers) variant
+    # compiles 32x faster but XLA materializes a copy of each layer's
+    # weight slice before every pallas_call, doubling decode's weight HBM
+    # traffic (measured: 1.38 -> 1.97 s/clip at batch 1). The unrolled
+    # 32-layer program is heavy on the tunnel's compile helper, so sweep
+    # ONE batch size per process (--serving_batches) and let the
+    # persistent compile cache accumulate across invocations.
+    params["llm"] = llama.init_quantized(jax.random.PRNGKey(0), llm_cfg,
+                                         bits=4, act_quant=True)
+    sam2_cfg = seg_head_mod.make_sam2_cfg(cfg.seg)
+
+    tpi = llava.visual_tokens_per_sample(cfg)
+    rng = np.random.default_rng(0)
+
+    # vision and LLM run as SEPARATE jits (embeds stay on device; the
+    # extra dispatch is ~0.5 ms async): the fused program at batch>=2
+    # reproducibly crashed the tunnel's remote compile helper — program
+    # size, not shapes (the split LLM program alone compiles)
+    @jax.jit
+    def encode(params, video, text_ids, gather_idx, salt):
+        slow, fast = llava.encode_video(params, cfg,
+                                        video.astype(jnp.bfloat16) + salt)
+        visual = llava.flatten_visual_features(slow, fast)
+        return llava.assemble_embeds(params, text_ids, gather_idx, visual)
+
+    @jax.jit
+    def generate(llm_params, embeds):
+        return llama.greedy_generate(
+            llm_params, cfg.llm, embeds, prompt_len=embeds.shape[1],
+            max_new_tokens=decode_tokens, eos_token_ids=(999999,))
+
+    def caption(params, video, text_ids, gather_idx, salt):
+        embeds = encode(params, video, text_ids, gather_idx, salt)
+        return generate(params["llm"], embeds)
+
+    @jax.jit
+    def seg(seg_params, frames, seg_hidden, salt):
+        feats, high_res = seg_head_mod.encode_video_frames(
+            seg_params, sam2_cfg, frames.astype(jnp.bfloat16) + salt)
+        masks = seg_head_mod.decode_masks(
+            seg_params, cfg.seg, sam2_cfg, feats, high_res,
+            seg_hidden.astype(jnp.bfloat16))
+        return jnp.sum(masks.astype(jnp.float32))
+
+    seg_frames = jnp.asarray(
+        rng.random((cfg.seg.max_seg_frames, 1024, 1024, 3), np.float32))
+    seg_hidden = jnp.zeros((1, cfg.llm.hidden_size))
+
+    out = {
+        "config": 7, "metric": "serving_throughput_clips_per_s",
+        "unit": "clips/s/chip (16-frame caption+mask, W4A8 + int8 KV)",
+        "decode_tokens": decode_tokens,
+        "note": "batch-native serving: the reference hard-asserts batch 1 "
+                "at inference (llava_llama.py:313); decode's weight stream "
+                "amortizes across the batch",
+    }
+    # merge with prior sweeps: each batch size runs in its own process
+    # (one heavy unrolled-32-layer compile per invocation — kinder to the
+    # tunnel's compile helper; the persistent cache accumulates)
+    prior = {}
+    try:
+        with open("BENCH_DETAIL.json") as fh:
+            prior = json.load(fh).get("7", {})
+    except (OSError, ValueError):
+        pass
+    clips_s = {int(k): v
+               for k, v in prior.get("clips_per_s_by_batch", {}).items()}
+    decode_tok_s = {int(k): v
+                    for k, v in prior.get("decode_tok_s_by_batch",
+                                          {}).items()}
+    for b in batches:
+        try:
+            ids = np.concatenate([
+                np.tile([[1, 2, 3]], (b, 1)),
+                np.full((b, len(tpi)), IMAGE_TOKEN_INDEX),
+                np.tile([[4, 5, 6]], (b, 1)),
+            ], axis=1)
+            plan = llava.build_splice_plan(ids, tpi)
+            tids = jnp.asarray(plan.text_ids)
+            gidx = jnp.asarray(plan.gather_idx)
+            video = jnp.asarray(rng.random(
+                (b, n_frames, vis.image_size, vis.image_size, 3),
+                np.float32))
+
+            def once(salt):
+                t0 = time.time()
+                tokens, hidden, n = caption(params, video, tids, gidx,
+                                            jnp.bfloat16(salt))
+                int(jax.device_get(n))
+                # one seg-head dispatch per clip, async; sync once at the end
+                sums = [seg(params["seg_head"], seg_frames, seg_hidden,
+                            jnp.bfloat16(salt + 1e-4 * i)) for i in range(b)]
+                float(sums[-1])
+                jax.block_until_ready(sums)
+                return time.time() - t0
+
+            once(0.0)                          # compile + warmup
+            times = sorted(once(i * 1e-3) for i in range(1, 4))
+            clips_s[b] = round(b / times[len(times) // 2], 3)
+        except Exception as e:  # pragma: no cover - chip-side OOM guard
+            out[f"batch{b}_error"] = f"{type(e).__name__}: {e}"[:160]
+            break
+    out["clips_per_s_by_batch"] = {k: clips_s[k] for k in sorted(clips_s)}
+    if clips_s:
+        best = max(clips_s, key=lambda b: clips_s[b])
+        out["value"] = clips_s[best]
+        out["batch"] = best
+        if 1 in clips_s:
+            out["speedup_vs_batch1"] = round(clips_s[best] / clips_s[1], 2)
+
+    # decode-only scaling: aggregate tok/s vs batch (the bandwidth-
+    # amortization curve, measured without the prefill/vision share);
+    # opt-in per invocation (--serving_decode_curve) — each batch size
+    # costs its own full-depth prefill+decode compile
+    if decode_curve:
+        try:
+            gc.collect()
+            for b in batches:
+                _, t_dec = _llm_prefill_decode_times(
+                    params["llm"], llm_cfg, 5120, 32, iters=2, batch=b)
+                decode_tok_s[b] = round(b / t_dec, 1)
+        except Exception as e:  # pragma: no cover - chip-side guard
+            out["decode_scaling_error"] = f"{type(e).__name__}: {e}"[:160]
+    if decode_tok_s:
+        out["decode_tok_s_by_batch"] = {
+            k: decode_tok_s[k] for k in sorted(decode_tok_s)}
+    return out
+
+
 def bench_qlora_train(n_text_tokens=128, rank=64, steps=4):
     """Config 6 (beyond BASELINE's five): one measured stage-2-shaped
     training step — full 32-layer Llama-3-8B base in weight-only int8
@@ -705,7 +885,8 @@ def bench_qlora_train(n_text_tokens=128, rank=64, steps=4):
 
 
 BENCHES = {1: bench_sam2_image, 2: bench_sam2_video, 3: bench_vision,
-           4: bench_caption, 5: bench_e2e, 6: bench_qlora_train}
+           4: bench_caption, 5: bench_e2e, 6: bench_qlora_train,
+           7: bench_serving}
 
 
 def main():
@@ -718,11 +899,24 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="3",
-                    help="comma-separated BASELINE config ids (1-5)")
+                    help="comma-separated BASELINE config ids (1-7)")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--serving_batches", default=None,
+                    help="config 7: comma-separated batch sizes to sweep "
+                         "in THIS process (results merge across runs)")
+    ap.add_argument("--serving_decode_curve", action="store_true",
+                    help="config 7: also measure decode-only tok/s at the "
+                         "swept batch sizes")
     args = ap.parse_args()
     ids = ([1, 2, 3, 4, 5] if args.all
            else [int(x) for x in args.configs.split(",")])
+    if args.serving_batches is not None:
+        import functools
+
+        BENCHES[7] = functools.partial(
+            bench_serving,
+            batches=tuple(int(x) for x in args.serving_batches.split(",")),
+            decode_curve=args.serving_decode_curve)
 
     def merge_detail(results):
         # merge into the existing detail file: a partial run (--configs 1,2)

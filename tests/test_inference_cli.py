@@ -243,3 +243,34 @@ def test_chunked_sharding_excludes_other_chunks(vicas_env, tmp_path):
     assert len(lst0) == 1
     lst1 = get_video_list(gt_dir, "v1.0", "val", out, False, 1, 2)
     assert lst1 == []
+
+
+def test_run_inference_batched_queries(vicas_env, tmp_path):
+    """--batch_queries 2: a video's caption + referral queries serve in one
+    ragged left-padded generate (vision encode shared across rows) and must
+    produce the same output JSON as the sequential batch-1 run — the
+    reference cannot do this at all (batch-1 assert, llava_llama.py:313)."""
+    from video_llava_seg_tpu.inference.main import run_inference
+
+    base = dict(
+        model_path="unused", gt_dir=None, output_dir=None,
+        num_chunks=1, chunk_idx=0, overwrite=False, print_captions=False,
+        dataset_version="v1.0", dataset_split="val", skip_seg=False,
+        skip_captions=False, max_new_tokens=4, temperature=0.0,
+        top_p=None, num_beams=1, conv_template="llava_llama_3",
+        seg_pad_mode="topleft")
+
+    seq = types.SimpleNamespace(**base)
+    seq.output_dir = str(tmp_path / "out_seq")
+    run_inference(seq, model=_tiny_model())
+    bat = types.SimpleNamespace(**base)
+    bat.output_dir = str(tmp_path / "out_bat")
+    bat.batch_queries = 2
+    run_inference(bat, model=_tiny_model())
+
+    with open(osp.join(tmp_path, "out_seq", "000007.json")) as fh:
+        a = json.load(fh)
+    with open(osp.join(tmp_path, "out_bat", "000007.json")) as fh:
+        b = json.load(fh)
+    assert b["pred_caption"] == a["pred_caption"]
+    assert b["pred_lgvis_masks"] == a["pred_lgvis_masks"]

@@ -256,3 +256,82 @@ def test_mpt_shape_alibi_layernorm_gelu():
     logits_dec, _, _ = llama.decode_step(params, cfg, x[:, 6:7], cache)
     np.testing.assert_allclose(np.asarray(logits_dec[0, 0]),
                                np.asarray(logits_full[0, 6]), atol=2e-3)
+
+
+def test_batched_rows_match_single(params):
+    """Batched serving foundation (bench config 7): rows of an equal-
+    length batch must decode exactly as they do alone — the batch only
+    amortizes the weight stream, it must not couple rows."""
+    ids = jnp.asarray([[5, 6, 7, 8], [9, 10, 11, 12]])
+    batched, _, _ = llama.greedy_generate(
+        params, CFG, llama.embed(params, ids), prompt_len=4,
+        max_new_tokens=5, eos_token_ids=(99999,))
+    for r in range(2):
+        solo, _, _ = llama.greedy_generate(
+            params, CFG, llama.embed(params, ids[r:r + 1]), prompt_len=4,
+            max_new_tokens=5, eos_token_ids=(99999,))
+        np.testing.assert_array_equal(np.asarray(batched[r]),
+                                      np.asarray(solo[0]))
+
+
+def test_ragged_left_pad_matches_single(params):
+    """Ragged batched serving: left-padded rows (pad_lens) must decode as
+    their unpadded single runs. RoPE keeps slot indices as positions —
+    valid because only position differences enter the scores — and pad
+    keys are masked in both prefill and decode."""
+    short = jnp.asarray([[5, 6, 7, 8, 9]])          # len 5
+    long = jnp.asarray([[9, 10, 11, 12, 13, 14, 15, 16]])  # len 8
+    pad = 8 - 5
+    padded_short = jnp.concatenate(
+        [jnp.zeros((1, pad), short.dtype), short], axis=1)
+    batch = jnp.concatenate([padded_short, long], axis=0)
+    toks, hidden, _ = llama.greedy_generate(
+        params, CFG, llama.embed(params, batch), prompt_len=8,
+        max_new_tokens=4, eos_token_ids=(99999,),
+        pad_lens=jnp.asarray([pad, 0], jnp.int32))
+    for r, row_ids in enumerate((short, long)):
+        solo, solo_h, _ = llama.greedy_generate(
+            params, CFG, llama.embed(params, row_ids),
+            prompt_len=row_ids.shape[1], max_new_tokens=4,
+            eos_token_ids=(99999,))
+        np.testing.assert_array_equal(np.asarray(toks[r]),
+                                      np.asarray(solo[0]))
+        np.testing.assert_allclose(np.asarray(hidden[r]),
+                                   np.asarray(solo_h[0]), atol=2e-4,
+                                   rtol=2e-4)
+
+
+def test_stacked_scan_layers_match_list(params):
+    """stack_layers: the lax.scan-over-layers layout (32x smaller HLO for
+    full-depth serving programs — bench config 7's batch>1 generate
+    crashed the remote compile helper with unrolled layers) must match the
+    per-layer list layout: forward, prefill+decode (via greedy_generate),
+    and the int8-KV decode path."""
+    import dataclasses
+
+    stacked = llama.stack_layers(params)
+    assert isinstance(stacked["layers"], dict)
+    ids = jnp.asarray([[5, 6, 7, 8, 9, 10]])
+    embeds = llama.embed(params, ids)
+    logits_l, hid_l = llama.forward(params, CFG, embeds, jnp.arange(6))
+    logits_s, hid_s = llama.forward(stacked, CFG, embeds, jnp.arange(6))
+    np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_l),
+                               atol=1e-5, rtol=1e-5)
+    toks_l, hid_l, n_l = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=6, max_new_tokens=5,
+        eos_token_ids=(99999,))
+    toks_s, hid_s, n_s = llama.greedy_generate(
+        stacked, CFG, embeds, prompt_len=6, max_new_tokens=5,
+        eos_token_ids=(99999,))
+    np.testing.assert_array_equal(np.asarray(toks_s), np.asarray(toks_l))
+    np.testing.assert_allclose(np.asarray(hid_s), np.asarray(hid_l),
+                               atol=1e-4, rtol=1e-4)
+    # int8 KV cache through the scanned decode
+    cfg8 = dataclasses.replace(CFG, kv_cache_int8=True)
+    t8_l, _, _ = llama.greedy_generate(params, cfg8, embeds, prompt_len=6,
+                                       max_new_tokens=5,
+                                       eos_token_ids=(99999,))
+    t8_s, _, _ = llama.greedy_generate(stacked, cfg8, embeds, prompt_len=6,
+                                       max_new_tokens=5,
+                                       eos_token_ids=(99999,))
+    np.testing.assert_array_equal(np.asarray(t8_s), np.asarray(t8_l))

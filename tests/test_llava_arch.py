@@ -132,3 +132,36 @@ def test_extract_seg_hidden():
     assert out.shape == (2, 4)
     np.testing.assert_allclose(out[0], hidden[0, 1])
     np.testing.assert_allclose(out[1], hidden[0, 3])
+
+
+def test_generate_ragged_left_pad_batch(params):
+    """Batch-native serving (bench config 7): two prompts of different
+    lengths batched with pad_side='left' must produce the same tokens as
+    their individual unpadded runs (the reference cannot do this at all —
+    batch 1 is hard-asserted at llava_llama.py:313)."""
+    tpi = llava.visual_tokens_per_sample(CFG)
+    n_img = len(tpi)
+    rng = np.random.RandomState(0)
+    video = rng.rand(2, CFG.num_frames, CFG.vision.image_size,
+                     CFG.vision.image_size, 3).astype(np.float32)
+    row_a = np.concatenate([[[1, 2]], np.full((1, n_img), IMAGE_TOKEN_INDEX),
+                            [[3, 4]]], axis=1)              # short
+    row_b = np.concatenate([[[5, 6, 7]], np.full((1, n_img),
+                                                 IMAGE_TOKEN_INDEX),
+                            [[8, 9, 10]]], axis=1)          # longer
+    # collator-style ragged batch: right-pad row A's ids to a common S and
+    # mark real lengths with input_lens; pad_side='left' then left-aligns
+    # each row's spliced content so its last real token sits at L-1
+    s = row_b.shape[1]
+    ids = np.zeros((2, s), row_b.dtype)
+    ids[0, :row_a.shape[1]] = row_a[0]
+    ids[1] = row_b[0]
+    lens = np.asarray([row_a.shape[1], row_b.shape[1]])
+    toks_b, _, _ = llava.generate(params, CFG, ids, video, max_new_tokens=4,
+                                  eos_token_ids=(99999,), pad_side="left",
+                                  input_lens=lens)
+    for r, row in enumerate((row_a, row_b)):
+        solo, _, _ = llava.generate(params, CFG, row, video[r:r + 1],
+                                    max_new_tokens=4, eos_token_ids=(99999,))
+        np.testing.assert_array_equal(np.asarray(toks_b[r]),
+                                      np.asarray(solo[0]))

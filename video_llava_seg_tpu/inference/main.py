@@ -209,6 +209,58 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
     return text, pred_mask_logits
 
 
+def get_model_output_batched(params, cfg: VideoLlavaConfig, tokenizer,
+                             video_bytes, queries, conv_template_name: str,
+                             max_new_tokens: int, seg_frames=None,
+                             seg_meta=None, eos_token_ids=(),
+                             stop_sequences=()):
+    """Serve several queries about ONE video in a single batched dispatch
+    (--batch_queries): the video decodes and encodes once (its visual
+    tokens broadcast across rows), ragged prompts left-pad, rows stop
+    per-row, and the decode weight stream amortizes across the batch. The
+    reference runs these queries strictly sequentially — its generate
+    hard-asserts batch 1 (llava_llama.py:313) and re-runs the vision tower
+    per query (main.py:260-283).
+
+    queries: list of (qs, wants_seg). Returns list of (text, mask_logits)."""
+    from video_llava_seg_tpu.data.vicas import (
+        clip_preprocess_frames,
+        expand2square_batch,
+        CLIP_IMAGE_MEAN,
+    )
+
+    frames = video_io.load_video_uniform(video_bytes, cfg.num_frames)
+    fill = tuple(int(x * 255) for x in CLIP_IMAGE_MEAN)
+    video = clip_preprocess_frames(expand2square_batch(frames, fill),
+                                   cfg.vision.image_size)[None]
+    rows = [np.asarray(tokenizer_image_token(
+        build_prompt(cfg, qs, conv_template_name), tokenizer))
+        for qs, _ in queries]
+    lens = np.asarray([len(r) for r in rows])
+    ids = np.zeros((len(rows), int(lens.max())), rows[0].dtype)
+    for r, row in enumerate(rows):
+        ids[r, :len(row)] = row
+    tokens, hidden, n = llava.generate(
+        params, cfg, ids, video, max_new_tokens=max_new_tokens,
+        eos_token_ids=tuple(eos_token_ids),
+        stop_sequences=tuple(stop_sequences), pad_side="left",
+        input_lens=lens)
+    n = int(n)
+    outs = []
+    for r, (qs, wants_seg) in enumerate(queries):
+        out_ids = np.asarray(tokens)[r, :n]
+        text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
+        logits = None
+        if wants_seg and seg_frames is not None:
+            o = llava.forward_seg_head_inference(
+                params, cfg, tokens[r:r + 1], hidden[r:r + 1], n,
+                [seg_frames], [seg_meta])
+            if o is not None:
+                logits = np.asarray(o[0])
+        outs.append((text, logits))
+    return outs
+
+
 def run_inference(args, model=None):
     """ViCaS inference loop (main.py:146-312 parity).
 
@@ -307,19 +359,8 @@ def run_inference(args, model=None):
         sub_indices = ([] if args.skip_captions else [-1]) + (
             [] if args.skip_seg
             else list(range(len(content["object_referrals"]))))
-        for idx in sub_indices:
-            if idx == -1:
-                qs = CAPTION_PROMPT
-                kwargs = {}
-            else:
-                ref = content["object_referrals"][idx]
-                qs = (f"\n{ref['prompt']} Please output the segmentation "
-                      "mask.")
-                kwargs = {"seg_frames": seg_frames, "seg_meta": seg_meta}
-            text, logits = get_model_output(
-                params, cfg, tokenizer, video_bytes, qs, conv_template_name,
-                args.max_new_tokens, eos_token_ids=eos_ids,
-                stop_sequences=stop_seqs, **kwargs)
+
+        def absorb(idx, text, logits):
             if idx == -1:
                 pred["pred_caption"] = text
                 if args.print_captions:
@@ -334,6 +375,39 @@ def run_inference(args, model=None):
                         "filename": seg_meta["filenames"][t],
                         "mask_rles": [x[t] for x in rles],
                     })
+
+        def query_of(idx):
+            if idx == -1:
+                return CAPTION_PROMPT, False
+            ref = content["object_referrals"][idx]
+            return (f"\n{ref['prompt']} Please output the segmentation "
+                    "mask."), True
+
+        bq = max(1, int(getattr(args, "batch_queries", 1) or 1))
+        if bq > 1:
+            # batched serving: group this video's queries into one ragged
+            # left-padded generate per bq rows (video encodes once/group)
+            for g in range(0, len(sub_indices), bq):
+                group = sub_indices[g:g + bq]
+                outs = get_model_output_batched(
+                    params, cfg, tokenizer, video_bytes,
+                    [query_of(i) for i in group], conv_template_name,
+                    args.max_new_tokens, seg_frames=seg_frames,
+                    seg_meta=seg_meta, eos_token_ids=eos_ids,
+                    stop_sequences=stop_seqs)
+                for idx, (text, logits) in zip(group, outs):
+                    absorb(idx, text, logits)
+        else:
+            for idx in sub_indices:
+                qs, wants_seg = query_of(idx)
+                kwargs = ({"seg_frames": seg_frames, "seg_meta": seg_meta}
+                          if wants_seg else {})
+                text, logits = get_model_output(
+                    params, cfg, tokenizer, video_bytes, qs,
+                    conv_template_name, args.max_new_tokens,
+                    eos_token_ids=eos_ids, stop_sequences=stop_seqs,
+                    **kwargs)
+                absorb(idx, text, logits)
         with open(output_path, "w") as fh:
             json.dump(pred, fh)
 
@@ -363,6 +437,10 @@ def parse_args():
                    help="shard the LLM over N chips (tensor parallel)")
     p.add_argument("--kv_cache_int8", action="store_true",
                    help="int8 KV cache (halves decode cache HBM reads)")
+    p.add_argument("--batch_queries", type=int, default=1,
+                   help="batch N of a video's queries through one ragged "
+                        "left-padded generate (vision encode shared; the "
+                        "reference serves strictly batch-1)")
     return p.parse_args()
 
 

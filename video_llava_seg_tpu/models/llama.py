@@ -75,7 +75,8 @@ def init(key, cfg: LlamaConfig, dtype=jnp.float32):
 
 def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
                    dtype=jnp.bfloat16, min_size: int = 1 << 16,
-                   act_quant: bool = False, train_mode: bool = False):
+                   act_quant: bool = False, train_mode: bool = False,
+                   stacked: bool = False):
     """Initialize directly into quantized form, one jitted layer at a
     time, so peak HBM is the int8 tree plus ONE bf16 layer.
 
@@ -98,10 +99,27 @@ def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
         lambda k: quantize_tree(init_layer(k, cfg, dtype), bits=bits,
                                 min_size=min_size, act_quant=act_quant,
                                 train_mode=train_mode))
+    if stacked:
+        # scan-over-layers layout (stack_layers) built in place: peak HBM
+        # is the stacked tree + ONE layer, never 2x the whole LLM
+        l0 = jax.block_until_ready(layer_q(keys[2]))
+        alloc = jax.jit(lambda l: jax.tree.map(
+            lambda x: jnp.zeros((cfg.num_layers,) + x.shape, x.dtype), l))
+        write = jax.jit(
+            lambda tree, leaf, i: jax.tree.map(
+                lambda t, x: jax.lax.dynamic_update_index_in_dim(
+                    t, x, i, 0), tree, leaf),
+            donate_argnums=0)
+        layers = write(alloc(l0), l0, 0)
+        for i in range(1, cfg.num_layers):
+            layers = write(layers, layer_q(keys[i + 2]), i)
+        layers = jax.block_until_ready(layers)
+    else:
+        layers = [jax.block_until_ready(layer_q(keys[i + 2]))
+                  for i in range(cfg.num_layers)]
     p = {
         "embed_tokens": nn.embedding_init(keys[0], cfg.vocab_size, d, dtype),
-        "layers": [jax.block_until_ready(layer_q(keys[i + 2]))
-                   for i in range(cfg.num_layers)],
+        "layers": layers,
         "norm": _norm_init(cfg, dtype),
     }
     if not cfg.tie_word_embeddings:
@@ -110,6 +128,38 @@ def init_quantized(key, cfg: LlamaConfig, bits: int = 8,
             bits=bits, min_size=min_size, act_quant=act_quant,
             train_mode=train_mode))
         p["lm_head"] = jax.block_until_ready(head_q(keys[1]))
+    return p
+
+
+def stack_layers(params):
+    """Stack the per-layer param list into one [L, ...] pytree so the
+    forward/prefill/decode loops run as `lax.scan` over layers.
+
+    Why: the Python-unrolled loop inlines num_layers copies of the block
+    into the traced program — at full 32-layer depth the batch>1 serving
+    generate's HLO took ~5 min per compile over the tunnel and could crash
+    the remote compile helper (HTTP 500, bench config 7). The scanned body
+    is traced ONCE: ~32x smaller HLO, proportionally faster compiles,
+    identical math (tests/test_llama.py::test_stacked_scan_layers…).
+
+    Perf caveat (measured, bench config 7): when the layer body feeds a
+    pallas_call (the W4A8 serving kernel), XLA materializes a COPY of each
+    layer's weight slice before the call — decode's weight HBM traffic
+    doubles (1.38 -> 1.97 s/clip). Use the scanned layout for XLA-dot
+    paths and compile-bound cases; the Pallas W4A8 serving path keeps
+    unrolled layers and amortizes compiles through the persistent cache.
+
+    Peak-memory note: stacking copies each leaf; callers holding an ~8 GB
+    int8 tree on a 16 GB chip should init directly stacked
+    (init_quantized(stacked=True)) instead of converting after the fact.
+
+    Mind: parallel/mesh.py's TP shard rules address the per-layer LIST
+    layout — TP-sharded serving keeps unrolled layers."""
+    layers = params["layers"]
+    if isinstance(layers, dict):
+        return params
+    p = dict(params)
+    p["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return p
 
 
@@ -189,7 +239,7 @@ def _quant_kv(x):
 
 def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
                 cache_kv=None, cache_len=None, kv_mask=None,
-                interpret: bool = False):
+                kv_start=None, interpret: bool = False):
     """Returns (out, (k, v)) where k/v are this block's new keys/values."""
     b, s, d = x.shape
     q = nn.dense(layer["attn"]["wq"], x).reshape(
@@ -232,19 +282,24 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
         q_pos = (cache_len + jnp.arange(s)
                  if (cfg.sliding_window is not None or cfg.use_alibi)
                  else None)
+        # left-padded ragged batches (batched serving): slots < kv_start[b]
+        # hold pad-token K/V — mask them out per row
+        dec_mask = (jnp.arange(k_all.shape[3])[None, :] >= kv_start[:, None]
+                    if kv_start is not None else None)
         if ks_all is not None:
             cks = jax.lax.dynamic_index_in_dim(ks_all, li, 0,
                                                keepdims=False)[..., 0]
             cvs = jax.lax.dynamic_index_in_dim(vs_all, li, 0,
                                                keepdims=False)[..., 0]
             o = attention_reference(q, ck, cv, kv_valid_len=valid,
+                                    kv_mask=dec_mask,
                                     window=cfg.sliding_window,
                                     alibi=cfg.use_alibi, q_positions=q_pos,
                                     k_scale=cks, v_scale=cvs)
         else:
             o = attention_reference(q, ck.astype(q.dtype),
                                     cv.astype(q.dtype),
-                                    kv_valid_len=valid,
+                                    kv_valid_len=valid, kv_mask=dec_mask,
                                     window=cfg.sliding_window,
                                     alibi=cfg.use_alibi, q_positions=q_pos)
         new_kv = (k_all, v_all, ks_all, vs_all)
@@ -302,8 +357,14 @@ def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
 
     if remat:
         block = jax.checkpoint(block)
-    for layer in params["layers"]:
-        x = block(layer, x, cos, sin, attn_mask)
+    layers = params["layers"]
+    if isinstance(layers, dict):  # stacked [L, ...] pytree (stack_layers)
+        x = jax.lax.scan(
+            lambda h, layer: (block(layer, h, cos, sin, attn_mask), None),
+            x, layers)[0]
+    else:
+        for layer in layers:
+            x = block(layer, x, cos, sin, attn_mask)
     x = _norm(params["norm"], cfg, x)
     if not return_logits:
         return None, x
@@ -312,8 +373,11 @@ def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
 
 
 def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
-            cache: KVCache, interpret: bool = False):
-    """Prefill the KV cache. Returns (logits [B,S,V], hidden [B,S,D], cache)."""
+            cache: KVCache, kv_mask=None, interpret: bool = False):
+    """Prefill the KV cache. Returns (logits [B,S,V], hidden [B,S,D], cache).
+
+    kv_mask: optional [B, S] bool — False keys are masked (left-padded
+    ragged batches for batched serving)."""
     x = inputs_embeds
     if position_ids.ndim == 1:
         position_ids = position_ids[None]
@@ -321,10 +385,12 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
     s = x.shape[1]
     k_all, v_all = cache.k, cache.v
     ks_all, vs_all = cache.k_scale, cache.v_scale
-    for li, layer in enumerate(params["layers"]):
+
+    def step(carry, layer, li):
+        x, k_all, v_all, ks_all, vs_all = carry
         h = _norm(layer["input_layernorm"], cfg, x)
         a, (k, v) = _attn_block(layer, cfg, h, cos, sin, causal=True,
-                                interpret=interpret)
+                                kv_mask=kv_mask, interpret=interpret)
         if ks_all is not None:
             # int8 cache: prefill attention ran in bf16 (flash); only the
             # STORED keys/values quantize, per position
@@ -340,7 +406,18 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
             v_all, v.astype(v_all.dtype)[None], (li, 0, 0, 0, 0))
         x = x + a
         h = _norm(layer["post_attention_layernorm"], cfg, x)
-        x = x + _mlp_block(layer, h, cfg)
+        return (x + _mlp_block(layer, h, cfg), k_all, v_all, ks_all, vs_all)
+
+    carry = (x, k_all, v_all, ks_all, vs_all)
+    layers = params["layers"]
+    if isinstance(layers, dict):  # stacked [L, ...] pytree (stack_layers)
+        carry, _ = jax.lax.scan(
+            lambda c, inp: (step(c, inp[0], inp[1]), None),
+            carry, (layers, jnp.arange(cfg.num_layers)))
+    else:
+        for li, layer in enumerate(layers):
+            carry = step(carry, layer, li)
+    x, k_all, v_all, ks_all, vs_all = carry
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
     cache = KVCache(k_all, v_all, jnp.asarray(s, jnp.int32),
@@ -349,8 +426,12 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
 
 
 def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
-                interpret: bool = False):
+                kv_start=None, interpret: bool = False):
     """One decode step. token_embeds: [B, 1, D].
+
+    kv_start: optional [B] int32 — cache slots below it hold left-pad
+    junk and are masked (ragged batched serving; RoPE uses slot indices,
+    which is mathematically identical under its relative-position law).
 
     Returns (logits [B, 1, V], hidden [B, 1, D], cache)."""
     x = token_embeds
@@ -358,15 +439,28 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
     cos, sin = rope_1d_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
     k_all, v_all = cache.k, cache.v
     ks_all, vs_all = cache.k_scale, cache.v_scale
-    for li, layer in enumerate(params["layers"]):
+
+    def step(carry, layer, li):
+        x, k_all, v_all, ks_all, vs_all = carry
         h = _norm(layer["input_layernorm"], cfg, x)
         a, (k_all, v_all, ks_all, vs_all) = _attn_block(
             layer, cfg, h, cos, sin, causal=False,
             cache_kv=(k_all, v_all, ks_all, vs_all, li),
-            cache_len=cache.length, interpret=interpret)
+            cache_len=cache.length, kv_start=kv_start, interpret=interpret)
         x = x + a
         h = _norm(layer["post_attention_layernorm"], cfg, x)
-        x = x + _mlp_block(layer, h, cfg)
+        return (x + _mlp_block(layer, h, cfg), k_all, v_all, ks_all, vs_all)
+
+    carry = (x, k_all, v_all, ks_all, vs_all)
+    layers = params["layers"]
+    if isinstance(layers, dict):  # stacked [L, ...] pytree (stack_layers)
+        carry, _ = jax.lax.scan(
+            lambda c, inp: (step(c, inp[0], inp[1]), None),
+            carry, (layers, jnp.arange(cfg.num_layers)))
+    else:
+        for li, layer in enumerate(layers):
+            carry = step(carry, layer, li)
+    x, k_all, v_all, ks_all, vs_all = carry
     x = _norm(params["norm"], cfg, x)
     logits = unembed(params, cfg, x)
     cache = KVCache(k_all, v_all, cache.length + 1, ks_all, vs_all)
@@ -376,11 +470,21 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
 def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
                     max_new_tokens: int, eos_token_ids: Tuple[int, ...],
                     stop_sequences: Tuple[Tuple[int, ...], ...] = (),
-                    interpret: bool = False):
+                    pad_lens=None, interpret: bool = False):
     """Greedy decode under jit: prefill + while_loop decode.
 
-    inputs_embeds: [B, S, D] (B=1 supported path, matching the reference's
-    batch-1 inference assert at llava_llama.py:313).
+    inputs_embeds: [B, S, D]. The whole pipeline is batch-native (the
+    reference hard-asserts batch 1 at inference, llava_llama.py:313): rows
+    decode together, stop per-row, and decode's weight-HBM stream
+    amortizes across the batch.
+
+    pad_lens: optional [B] int32 LEFT-pad counts for ragged batches — row
+    b's real prompt occupies positions [pad_lens[b], S). Pad keys are
+    masked in prefill and decode; RoPE keeps slot indices as positions,
+    which matches unpadded decoding exactly under its relative-position
+    law (only position DIFFERENCES enter the scores). Left padding keeps
+    every row's last prompt token at S-1, so the first sampled token reads
+    from logits[:, -1] for all rows.
 
     stop_sequences: static tuples of token ids; a row stops once its
     trailing emitted tokens match any sequence — the in-graph equivalent of
@@ -396,8 +500,10 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
     max_len = s + max_new_tokens
     cache = init_kv_cache(cfg, b, max_len, dtype=inputs_embeds.dtype)
     pos = jnp.arange(s)[None]
+    kv_mask = (jnp.arange(s)[None, :] >= pad_lens[:, None]
+               if pad_lens is not None else None)
     logits, hidden, cache = prefill(params, cfg, inputs_embeds, pos, cache,
-                                    interpret)
+                                    kv_mask=kv_mask, interpret=interpret)
     first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     eos = jnp.asarray(eos_token_ids, jnp.int32)
@@ -417,7 +523,9 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
         tok = jnp.where(done, pad_id, tok)
         tokens = tokens.at[:, i].set(tok)
         emb = embed(params, tok[:, None]).astype(inputs_embeds.dtype)
-        logits, h, cache = decode_step(params, cfg, emb, cache, interpret)
+        logits, h, cache = decode_step(params, cfg, emb, cache,
+                                       kv_start=pad_lens,
+                                       interpret=interpret)
         # h is the hidden that PRODUCES token i+1 (reference convention:
         # output_embeds[:, j] pairs with output_ids[:, j] where the embed is
         # the state that emitted the token — llava_llama.py:186-190)

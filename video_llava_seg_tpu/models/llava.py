@@ -113,20 +113,31 @@ def build_splice_plan(input_ids: np.ndarray,
                       tokens_per_image: List[int],
                       labels: Optional[np.ndarray] = None,
                       max_length: Optional[int] = None,
-                      pad_to: Optional[int] = None) -> SplicePlan:
-    """Plan the multimodal splice for a right-padded batch.
+                      pad_to: Optional[int] = None,
+                      pad_side: str = "right",
+                      input_lens: Optional[np.ndarray] = None) -> SplicePlan:
+    """Plan the multimodal splice for a padded batch.
 
     input_ids: [B, S] with IMAGE_TOKEN_INDEX sentinels (and 0/pad elsewhere);
     tokens_per_image: expansion size of the i-th sentinel in every sample.
     The gather source is [text_embeds (S slots); visual tokens (Nvis slots)]
-    per sample."""
+    per sample.
+
+    pad_side='left' aligns every row's LAST real token at L-1 — the layout
+    ragged batched generation needs (llama.greedy_generate pad_lens): the
+    next-token logits sit at position -1 for all rows. Training keeps the
+    default right padding (losses mask on labels/attn).
+
+    input_lens: optional [B] — row b's real ids are input_ids[b, :len];
+    trailing slots are collator padding, not text (ragged batches)."""
     b, s = input_ids.shape
     nvis_total = int(sum(tokens_per_image))
     rows = []
     for bi in range(b):
-        ids = input_ids[bi]
-        lbl = labels[bi] if labels is not None else np.full_like(ids,
-                                                                 IGNORE_INDEX)
+        row_len = s if input_lens is None else int(input_lens[bi])
+        ids = input_ids[bi, :row_len]
+        lbl = (labels[bi, :row_len] if labels is not None
+               else np.full_like(ids, IGNORE_INDEX))
         img_pos = np.flatnonzero(ids == IMAGE_TOKEN_INDEX)
         gather, vis, lab = [], [], []
         vis_off = 0
@@ -143,7 +154,7 @@ def build_splice_plan(input_ids: np.ndarray,
                 lab.append(IGNORE_INDEX)
             vis_off += count
             prev = pos + 1
-        for j in range(prev, s):
+        for j in range(prev, row_len):
             gather.append(j)
             vis.append(False)
             lab.append(lbl[j])
@@ -166,13 +177,15 @@ def build_splice_plan(input_ids: np.ndarray,
     attn = np.zeros((b, max_len), bool)
     position_ids = np.zeros((b, max_len), np.int32)
     seq_lens = np.zeros((b,), np.int32)
+    assert pad_side in ("right", "left"), pad_side
     for bi, (g, v, l) in enumerate(rows):
         n = min(len(g), max_len)
-        gather_idx[bi, :n] = g[:n]
-        is_visual[bi, :n] = v[:n]
-        out_labels[bi, :n] = l[:n]
-        attn[bi, :n] = True
-        position_ids[bi, :n] = np.arange(n)
+        sl = slice(max_len - n, None) if pad_side == "left" else slice(0, n)
+        gather_idx[bi, sl] = g[:n]
+        is_visual[bi, sl] = v[:n]
+        out_labels[bi, sl] = l[:n]
+        attn[bi, sl] = True
+        position_ids[bi, sl] = np.arange(n)
         seq_lens[bi] = n
 
     text_ids = np.where(input_ids == IMAGE_TOKEN_INDEX, 0, input_ids)
@@ -221,24 +234,43 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
              max_new_tokens: int = 256,
              eos_token_ids: Tuple[int, ...] = (),
              stop_sequences: Tuple[Tuple[int, ...], ...] = (),
+             pad_side: str = "right",
+             input_lens: Optional[np.ndarray] = None,
              interpret: bool = False):
-    """Greedy caption generation (batch 1, matching llava_llama.py:313).
+    """Greedy caption generation, batch-native.
 
-    input_ids: [1, S] numpy with IMAGE_TOKEN_INDEX sentinels;
-    video: [1, T, H, W, 3] normalized.
+    The reference hard-asserts batch 1 here (llava_llama.py:313); this
+    path serves B clips per dispatch (bench config 7) — equal-length
+    prompts batch directly, ragged prompts batch with pad_side='left'
+    (pad keys masked in prefill and decode, rows stop per-row).
 
-    Returns (tokens [1, max_new], hidden [1, max_new, D], n_generated)."""
+    input_ids: [B, S] numpy with IMAGE_TOKEN_INDEX sentinels;
+    video: [B, T, H, W, 3] normalized — or [1, T, H, W, 3] with B > 1
+    prompts, in which case the video encodes ONCE and its visual tokens
+    broadcast across rows (several queries about one video, the
+    --batch_queries serving mode; the reference re-encodes per query).
+
+    Returns (tokens [B, max_new], hidden [B, max_new, D], n_generated)."""
     plan = build_splice_plan(np.asarray(input_ids),
                              visual_tokens_per_sample(cfg),
-                             max_length=cfg.tokenizer_model_max_length)
+                             max_length=cfg.tokenizer_model_max_length,
+                             pad_side=pad_side, input_lens=input_lens)
     slow, fast = encode_video(params, cfg, jnp.asarray(video), interpret)
     visual = flatten_visual_features(slow, fast)
+    b = plan.text_ids.shape[0]
+    if visual.shape[0] == 1 and b > 1:
+        visual = jnp.broadcast_to(visual, (b,) + visual.shape[1:])
     embeds = assemble_embeds(params, jnp.asarray(plan.text_ids),
                              jnp.asarray(plan.gather_idx), visual)
+    pad_lens = None
+    if pad_side == "left":
+        pad_lens = jnp.asarray(
+            plan.gather_idx.shape[1] - plan.seq_lens, jnp.int32)
     tokens, hidden, n = llama.greedy_generate(
         params["llm"], cfg.llm, embeds, prompt_len=embeds.shape[1],
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
-        stop_sequences=stop_sequences, interpret=interpret)
+        stop_sequences=stop_sequences, pad_lens=pad_lens,
+        interpret=interpret)
     return tokens, hidden, n
 
 
