@@ -287,7 +287,7 @@ def _llm_prefill_decode_times(params, cfg, prefill_len, decode_steps,
                                     dtype=jnp.bfloat16)
         pos = jnp.arange(prefill_len)[None]
         logits, hidden, cache = llama.prefill(params, cfg, emb + salt, pos,
-                                              cache)
+                                              cache, last_logit_only=True)
         return jnp.sum(logits[:, -1].astype(jnp.float32)), cache
 
     s, cache = run_prefill(params, emb, jnp.bfloat16(0))

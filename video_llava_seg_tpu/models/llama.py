@@ -373,11 +373,18 @@ def forward(params, cfg: LlamaConfig, inputs_embeds, position_ids,
 
 
 def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
-            cache: KVCache, kv_mask=None, interpret: bool = False):
+            cache: KVCache, kv_mask=None, last_logit_only: bool = False,
+            interpret: bool = False):
     """Prefill the KV cache. Returns (logits [B,S,V], hidden [B,S,D], cache).
 
     kv_mask: optional [B, S] bool — False keys are masked (left-padded
-    ragged batches for batched serving)."""
+    ragged batches for batched serving).
+
+    last_logit_only: unembed only the final position (logits come back
+    [B, 1, V]). Greedy decoding samples solely from logits[:, -1], so the
+    full-sequence unembed is pure waste there — at Llama-3-8B scale it is
+    2·S·V·D ≈ 5 TFLOP of extra MXU work and a [B, S, 128256] materialized
+    logits tensor (2.5 GB bf16 at B=2, S=4870) per prefill."""
     x = inputs_embeds
     if position_ids.ndim == 1:
         position_ids = position_ids[None]
@@ -419,7 +426,7 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, position_ids,
             carry = step(carry, layer, li)
     x, k_all, v_all, ks_all, vs_all = carry
     x = _norm(params["norm"], cfg, x)
-    logits = unembed(params, cfg, x)
+    logits = unembed(params, cfg, x[:, -1:] if last_logit_only else x)
     cache = KVCache(k_all, v_all, jnp.asarray(s, jnp.int32),
                     ks_all, vs_all)
     return logits, x, cache
@@ -503,7 +510,8 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
     kv_mask = (jnp.arange(s)[None, :] >= pad_lens[:, None]
                if pad_lens is not None else None)
     logits, hidden, cache = prefill(params, cfg, inputs_embeds, pos, cache,
-                                    kv_mask=kv_mask, interpret=interpret)
+                                    kv_mask=kv_mask, last_logit_only=True,
+                                    interpret=interpret)
     first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
 
     eos = jnp.asarray(eos_token_ids, jnp.int32)
