@@ -180,6 +180,40 @@ def test_run_inference_tensor_parallel(vicas_env, tmp_path):
     assert tp["pred_lgvis_masks"] == single["pred_lgvis_masks"]
 
 
+def test_run_inference_fused_qkv(vicas_env, tmp_path):
+    """--fuse_qkv: serving with the concatenated wqkv / w_gateup layout
+    produces the same captions and masks as the unfused tree (and is
+    rejected when combined with --model_parallel, whose TP shard rules
+    target the unfused names)."""
+    from video_llava_seg_tpu.inference.main import run_inference
+
+    base = types.SimpleNamespace(
+        model_path="unused", gt_dir=None, output_dir=None,
+        num_chunks=1, chunk_idx=0, overwrite=False, print_captions=False,
+        dataset_version="v1.0", dataset_split="val", skip_seg=False,
+        skip_captions=False, max_new_tokens=4, temperature=0.0,
+        top_p=None, num_beams=1, conv_template="llava_llama_3",
+        seg_pad_mode="topleft")
+
+    base.output_dir = str(tmp_path / "out_single")
+    run_inference(base, model=_tiny_model())
+    base.output_dir = str(tmp_path / "out_fused")
+    base.fuse_qkv = True
+    run_inference(base, model=_tiny_model())
+
+    with open(osp.join(tmp_path, "out_single", "000007.json")) as fh:
+        single = json.load(fh)
+    with open(osp.join(tmp_path, "out_fused", "000007.json")) as fh:
+        fused = json.load(fh)
+    assert fused["pred_caption"] == single["pred_caption"]
+    assert fused["pred_lgvis_masks"] == single["pred_lgvis_masks"]
+
+    base.output_dir = str(tmp_path / "out_bad")
+    base.model_parallel = 2
+    with pytest.raises(SystemExit):
+        run_inference(base, model=_tiny_model())
+
+
 def test_load_model_orbax_and_quant_gates(tmp_path):
     """load_model restores an orbax checkpoint; --load_8bit gives the LLM
     weight-only int8 kernels, --load_4bit the packed W4A8 kernels; the

@@ -335,3 +335,73 @@ def test_stacked_scan_layers_match_list(params):
                                        max_new_tokens=5,
                                        eos_token_ids=(99999,))
     np.testing.assert_array_equal(np.asarray(t8_s), np.asarray(t8_l))
+
+
+@pytest.mark.parametrize("quant", ["w4a8", "int8", "w8a8", "bf16"])
+def test_fused_qkv_gateup_matches_unfused(params, quant):
+    """fuse_qkv_gateup: the single-chip serving layout (wqkv / w_gateup
+    concat denses — 7 -> 4 dispatches per decoded token) must reproduce
+    the unfused tree EXACTLY. Per-output-channel scales and per-row
+    activation scales make every dense column-independent; the int8-DOT
+    paths (W4A8/W8A8, exact int32 accumulation) are bitwise identical,
+    while bf16-compute paths (weight-only int8, bf16) are checked tight
+    (XLA may re-block the wider fused dot's f32 accumulation)."""
+    import dataclasses
+
+    from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+    if quant == "w4a8":
+        base = quantize_tree(params, bits=4, min_size=0, act_quant=True)
+    elif quant == "w8a8":
+        base = quantize_tree(params, bits=8, min_size=0, act_quant=True)
+    elif quant == "int8":
+        base = quantize_tree(params, bits=8, min_size=0)
+    else:
+        base = params
+    fused = llama.fuse_qkv_gateup(base)
+    attn = fused["layers"][0]["attn"]
+    assert "wqkv" in attn and "wq" not in attn
+    assert "w_gateup" in fused["layers"][0]["mlp"]
+
+    cfg = dataclasses.replace(CFG, kv_cache_int8=(quant != "bf16"))
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    embeds = llama.embed(base, ids)
+    toks_u, hid_u, n_u = llama.greedy_generate(
+        base, cfg, embeds, prompt_len=8, max_new_tokens=6,
+        eos_token_ids=(99999,))
+    toks_f, hid_f, n_f = llama.greedy_generate(
+        fused, cfg, embeds, prompt_len=8, max_new_tokens=6,
+        eos_token_ids=(99999,))
+    np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_u))
+    if quant in ("w4a8", "w8a8"):
+        np.testing.assert_array_equal(np.asarray(hid_f),
+                                      np.asarray(hid_u))
+    else:
+        np.testing.assert_allclose(np.asarray(hid_f), np.asarray(hid_u),
+                                   atol=1e-4, rtol=1e-4)
+    # forward (prefill-shaped) path too
+    lo_u, _ = llama.forward(base, cfg, embeds, jnp.arange(8))
+    lo_f, _ = llama.forward(fused, cfg, embeds, jnp.arange(8))
+    np.testing.assert_allclose(np.asarray(lo_f), np.asarray(lo_u),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_qkv_gateup_stacked_layout(params):
+    """Fusion composes with stack_layers (axis=-1 concat on [L, ...])."""
+    from video_llava_seg_tpu.ops.quantization import quantize_tree
+
+    base = quantize_tree(params, bits=8, min_size=0)
+    fused_then_stacked = llama.stack_layers(llama.fuse_qkv_gateup(base))
+    stacked_then_fused = llama.fuse_qkv_gateup(llama.stack_layers(base))
+    a = fused_then_stacked["layers"]["attn"]["wqkv"]["kernel_q"]
+    b = stacked_then_fused["layers"]["attn"]["wqkv"]["kernel_q"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ids = jnp.asarray([[7, 8, 9, 10]])
+    embeds = llama.embed(base, ids)
+    t1, _, _ = llama.greedy_generate(fused_then_stacked, CFG, embeds,
+                                     prompt_len=4, max_new_tokens=4,
+                                     eos_token_ids=(99999,))
+    t2, _, _ = llama.greedy_generate(stacked_then_fused, CFG, embeds,
+                                     prompt_len=4, max_new_tokens=4,
+                                     eos_token_ids=(99999,))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

@@ -288,6 +288,15 @@ def run_inference(args, model=None):
             cfg, llm=dataclasses.replace(cfg.llm, kv_cache_int8=True))
 
     mp = int(getattr(args, "model_parallel", 1) or 1)
+    if getattr(args, "fuse_qkv", False):
+        if mp > 1:
+            raise SystemExit("--fuse_qkv is single-chip serving only: the "
+                             "TP shard rules target the unfused wq/wk/wv "
+                             "names (parallel/mesh.py)")
+        from video_llava_seg_tpu.models.llama import fuse_qkv_gateup
+
+        params = dict(params)
+        params["llm"] = fuse_qkv_gateup(params["llm"])
     if mp > 1:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
@@ -435,6 +444,11 @@ def parse_args():
     p.add_argument("--load_4bit", action="store_true")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="shard the LLM over N chips (tensor parallel)")
+    p.add_argument("--fuse_qkv", action="store_true",
+                   help="single-chip serving layout: concat wq|wk|wv and "
+                        "w_gate|w_up per layer (fuse_qkv_gateup) — fewer "
+                        "dispatches + one activation quant per block; "
+                        "token-exact vs the unfused tree")
     p.add_argument("--kv_cache_int8", action="store_true",
                    help="int8 KV cache (halves decode cache HBM reads)")
     p.add_argument("--batch_queries", type=int, default=1,

@@ -163,6 +163,72 @@ def stack_layers(params):
     return p
 
 
+def _concat_denses(denses):
+    """Concatenate dense param dicts along the OUTPUT axis. Returns None
+    when the group cannot be fused exactly (mixed quant kinds, LoRA
+    adapters, or biases — none of which the Llama serving trees carry)."""
+    kinds = [k for k in ("kernel", "kernel_q", "kernel_qa", "kernel_q4a")
+             for d in denses if k in d]
+    kind = kinds[0] if kinds else None
+    if (kind is None or len(kinds) != len(denses)
+            or any(kind not in d for d in denses)
+            or any("lora" in d or "bias" in d for d in denses)):
+        return None
+    out = {kind: jnp.concatenate([d[kind] for d in denses], axis=-1)}
+    if kind != "kernel":
+        out["kernel_scale"] = jnp.concatenate(
+            [d["kernel_scale"] for d in denses], axis=-1)
+    return out
+
+
+def fuse_qkv_gateup(params):
+    """Serving-layout transform: concatenate each layer's wq|wk|wv into
+    one 'wqkv' dense and (swiglu) w_gate|w_up into 'w_gateup'.
+
+    Exact by construction: per-output-channel weight scales and per-row
+    activation scales make every dense's math column-independent, so the
+    fused dot is BITWISE identical to the three separate calls
+    (tests/test_llama.py::test_fused_qkv_gateup_*). The win is dispatch
+    count: 7 -> 4 kernel calls per layer (~96 fewer per decoded token at
+    full depth) and ONE dynamic activation quantization per block input
+    instead of three (W8A8/W4A8 paths). Measured on chip at full depth
+    (W4A8 + int8 KV): decode 9.99 -> 9.77 ms/tok (+2.3%) — decode is
+    weight-HBM-bound so in-jit fusion is a small win; the big effect is
+    on EAGER serving paths, where each dispatch rides the host tunnel
+    (1081 -> 791 ms/tok eager, 27% — see BENCH_NOTES.md).
+
+    Single-chip serving only — TP shard rules (parallel/mesh.py) and the
+    LoRA adapter attach points target the unfused names. Works on both
+    the per-layer list and the stacked [L, ...] layout (axis=-1 concat).
+    The reference's analogue is HF's fused attention QKV packing; here it
+    doubles as a dispatch-count optimization for the Pallas W4A8 path."""
+    def fuse_layer(layer):
+        layer = dict(layer)
+        attn = layer["attn"]
+        if "wq" in attn:
+            fused = _concat_denses([attn["wq"], attn["wk"], attn["wv"]])
+            if fused is not None:
+                attn = {k: v for k, v in attn.items()
+                        if k not in ("wq", "wk", "wv")}
+                attn["wqkv"] = fused
+                layer["attn"] = attn
+        mlp = layer["mlp"]
+        if "w_gate" in mlp:
+            fused = _concat_denses([mlp["w_gate"], mlp["w_up"]])
+            if fused is not None:
+                mlp = {k: v for k, v in mlp.items()
+                       if k not in ("w_gate", "w_up")}
+                mlp["w_gateup"] = fused
+                layer["mlp"] = mlp
+        return layer
+
+    p = dict(params)
+    layers = params["layers"]
+    p["layers"] = (fuse_layer(layers) if isinstance(layers, dict)
+                   else [fuse_layer(l) for l in layers])
+    return p
+
+
 def _norm(p, cfg: LlamaConfig, x):
     if cfg.norm_type == "layernorm":
         return nn.layer_norm(p, x, cfg.rms_norm_eps)
@@ -242,12 +308,22 @@ def _attn_block(layer, cfg: LlamaConfig, x, cos, sin, *, causal,
                 kv_start=None, interpret: bool = False):
     """Returns (out, (k, v)) where k/v are this block's new keys/values."""
     b, s, d = x.shape
-    q = nn.dense(layer["attn"]["wq"], x).reshape(
-        b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = nn.dense(layer["attn"]["wk"], x).reshape(
-        b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = nn.dense(layer["attn"]["wv"], x).reshape(
-        b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    if "wqkv" in layer["attn"]:
+        # fused serving layout (fuse_qkv_gateup): one dense + slices,
+        # bitwise-identical to the three separate dots
+        q_dim = cfg.num_heads * cfg.head_dim
+        kv_dim = cfg.num_kv_heads * cfg.head_dim
+        qkv = nn.dense(layer["attn"]["wqkv"], x)
+        q = qkv[..., :q_dim]
+        k = qkv[..., q_dim:q_dim + kv_dim]
+        v = qkv[..., q_dim + kv_dim:]
+    else:
+        q = nn.dense(layer["attn"]["wq"], x)
+        k = nn.dense(layer["attn"]["wk"], x)
+        v = nn.dense(layer["attn"]["wv"], x)
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     if cfg.use_rope:
         q = apply_rope_1d(q, cos, sin)
         k = apply_rope_1d(k, cos, sin)
@@ -311,8 +387,13 @@ def _mlp_block(layer, x, cfg: LlamaConfig = None):
     if cfg is not None and cfg.mlp_type == "gelu":
         return nn.dense(layer["mlp"]["w_down"],
                         nn.gelu(nn.dense(layer["mlp"]["w_up"], x)))
-    g = nn.dense(layer["mlp"]["w_gate"], x)
-    u = nn.dense(layer["mlp"]["w_up"], x)
+    if "w_gateup" in layer["mlp"]:
+        gu = nn.dense(layer["mlp"]["w_gateup"], x)
+        half = gu.shape[-1] // 2
+        g, u = gu[..., :half], gu[..., half:]
+    else:
+        g = nn.dense(layer["mlp"]["w_gate"], x)
+        u = nn.dense(layer["mlp"]["w_up"], x)
     return nn.dense(layer["mlp"]["w_down"], jax.nn.silu(g) * u)
 
 
