@@ -426,13 +426,22 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32,
                                            bits=4, act_quant=True)
         t_prefill_5, t_decode_5 = _llm_prefill_decode_times(
             params_w4a8, full_kv8, prefill_len, decode_steps)
-        del params_w4a8
-        gc.collect()
         out.update({
             "prefill_tok_s_full_w4a8_kv8": round(prefill_len / t_prefill_5,
                                                  0),
             "decode_ms_per_tok_full_w4a8_kv8": round(1e3 * t_decode_5, 2),
         })
+        # fused wqkv / w_gateup layout on top (token-exact,
+        # llama.fuse_qkv_gateup) — the fastest single-chip serving config
+        params_fused = llama.fuse_qkv_gateup(params_w4a8)
+        del params_w4a8
+        gc.collect()
+        _, t_decode_6 = _llm_prefill_decode_times(
+            params_fused, full_kv8, prefill_len, decode_steps)
+        del params_fused
+        gc.collect()
+        out["decode_ms_per_tok_full_w4a8_kv8_fused"] = round(
+            1e3 * t_decode_6, 2)
     except Exception as e:  # pragma: no cover - chip-side guard
         out["kv8_error"] = f"{type(e).__name__}: {e}"[:200]
     return out

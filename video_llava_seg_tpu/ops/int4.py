@@ -66,14 +66,14 @@ def unpack_int4(packed):
 
 def _w4a8_kernel(xq_ref, asc_ref, wp_ref, wsc_ref, o_ref, *, half: int,
                  out_dtype):
-    """One [tr, in] x [in/2, to] tile: in-VMEM nibble unpack (int32
-    compare/select — no narrow-int shifts, which Mosaic lacks) + two
-    contiguous int8 MXU dots accumulated in int32."""
-    p32 = wp_ref[...].astype(jnp.int32) & 0xFF
-    lo = p32 & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
-    hi = (p32 >> 4) & 0xF
-    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    """One [tr, in] x [in/2, to] tile: in-VMEM nibble unpack + two
+    contiguous int8 MXU dots accumulated in int32. Unpack is 2 int32
+    shifts per nibble (sign extension by `<<` then arithmetic `>>`,
+    bit-exact vs the mask/compare/select form — tests/test_int4.py);
+    narrow-int shifts don't exist in Mosaic, int32 shifts do."""
+    p32 = wp_ref[...].astype(jnp.int32)
+    lo = ((p32 << 28) >> 28).astype(jnp.int8)
+    hi = ((p32 << 24) >> 28).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq_ref[:, :half], lo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -112,7 +112,10 @@ def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
         xq = jnp.pad(xq, ((0, rp - rows), (0, 0)))
         a_scale = jnp.pad(a_scale, ((0, rp - rows), (0, 0)),
                           constant_values=1.0)
-    to = _tile(out, 512, 128)
+    # tile cap swept on chip at the 8-layer decode slice: 512 -> 2.44,
+    # 1024 -> 2.33, 2048 -> 2.56 ms/tok (bigger DMAs win until the
+    # double-buffered tile pair stops fitting VMEM comfortably)
+    to = _tile(out, 1024, 128)
 
     # grid order: out tiles OUTER, row tiles inner — the weight tile's
     # block index then only changes with the outer step, so the packed
