@@ -214,6 +214,38 @@ def test_run_inference_fused_qkv(vicas_env, tmp_path):
         run_inference(base, model=_tiny_model())
 
 
+def test_run_inference_sampling_and_beam_gate(vicas_env, tmp_path):
+    """--temperature > 0 routes through the in-graph sampler (reference
+    do_sample gate, main.py:124-138) and still writes the full output
+    schema; the fixed per-video rng makes a re-run reproducible.
+    --num_beams > 1 is rejected with a clear error."""
+    from video_llava_seg_tpu.inference.main import run_inference
+
+    args = types.SimpleNamespace(
+        model_path="unused", gt_dir=None,
+        output_dir=str(tmp_path / "out_sampled"),
+        num_chunks=1, chunk_idx=0, overwrite=False, print_captions=False,
+        dataset_version="v1.0", dataset_split="val", skip_seg=False,
+        skip_captions=False, max_new_tokens=6, temperature=0.9,
+        top_p=0.9, num_beams=1, conv_template="llava_llama_3",
+        seg_pad_mode="topleft")
+    run_inference(args, model=_tiny_model())
+    with open(osp.join(args.output_dir, "000007.json")) as fh:
+        first = json.load(fh)
+    assert isinstance(first["pred_caption"], str)
+
+    args.output_dir = str(tmp_path / "out_sampled2")
+    run_inference(args, model=_tiny_model())
+    with open(osp.join(args.output_dir, "000007.json")) as fh:
+        again = json.load(fh)
+    assert again["pred_caption"] == first["pred_caption"]
+
+    args.num_beams = 4
+    args.output_dir = str(tmp_path / "out_beams")
+    with pytest.raises(SystemExit):
+        run_inference(args, model=_tiny_model())
+
+
 def test_load_model_orbax_and_quant_gates(tmp_path):
     """load_model restores an orbax checkpoint; --load_8bit gives the LLM
     weight-only int8 kernels, --load_4bit the packed W4A8 kernels; the

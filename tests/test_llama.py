@@ -405,3 +405,64 @@ def test_fused_qkv_gateup_stacked_layout(params):
                                      prompt_len=4, max_new_tokens=4,
                                      eos_token_ids=(99999,))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_sampled_generate_top_p_zero_matches_greedy(params):
+    """temperature > 0 with a vanishing nucleus keeps ONLY the argmax
+    token (HF TopPLogitsWarper keeps at least one), so sampling must
+    reproduce greedy decoding token-for-token — an exact end-to-end check
+    of the filtering/threshold math in llama._select_token (reference
+    sampling gate: inference/main.py:124-138)."""
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    embeds = llama.embed(params, ids)
+    greedy, _, _ = llama.greedy_generate(params, CFG, embeds, prompt_len=8,
+                                         max_new_tokens=6,
+                                         eos_token_ids=(99999,))
+    sampled, _, _ = llama.greedy_generate(
+        params, CFG, embeds, prompt_len=8, max_new_tokens=6,
+        eos_token_ids=(99999,), temperature=0.7, top_p=1e-9,
+        rng=jax.random.PRNGKey(42))
+    np.testing.assert_array_equal(np.asarray(sampled), np.asarray(greedy))
+
+
+def test_sampled_generate_deterministic_per_key_and_varies(params):
+    """A fixed rng reproduces the same sampled tokens; sampling at high
+    temperature with full nucleus differs across keys (soundness that the
+    key is actually folded per step). Also: temperature > 0 without an
+    rng raises."""
+    ids = jnp.asarray([[7, 8, 9, 10, 11, 12, 13, 14]])
+    embeds = llama.embed(params, ids)
+
+    def run(seed):
+        t, _, _ = llama.greedy_generate(
+            params, CFG, embeds, prompt_len=8, max_new_tokens=12,
+            eos_token_ids=(99999,), temperature=5.0, top_p=None,
+            rng=jax.random.PRNGKey(seed))
+        return np.asarray(t)
+
+    a1, a2 = run(0), run(0)
+    np.testing.assert_array_equal(a1, a2)
+    outs = [run(s) for s in range(1, 6)]
+    assert any(not np.array_equal(a1, o) for o in outs), \
+        "high-temperature samples never varied across 5 keys"
+    with pytest.raises(ValueError):
+        llama.greedy_generate(params, CFG, embeds, prompt_len=8,
+                              max_new_tokens=2, eos_token_ids=(99999,),
+                              temperature=1.0)
+
+
+def test_select_token_top_p_nucleus_mass():
+    """Unit check of the nucleus filter: with top_p = 0.5 over a known
+    distribution, only the smallest head set whose cumulative mass
+    reaches 0.5 (crossing token included) can ever be sampled."""
+    probs = np.asarray([[0.4, 0.3, 0.2, 0.1]])
+    logits = jnp.asarray(np.log(probs))
+    seen = set()
+    for s in range(200):
+        tok = llama._select_token(logits, 1.0, 0.5,
+                                  jax.random.PRNGKey(s))
+        seen.add(int(np.asarray(tok)[0]))
+    # mass before idx0 = 0 < .5 (kept), before idx1 = .4 < .5 (kept,
+    # crossing), before idx2 = .7 >= .5 (cut)
+    assert seen <= {0, 1}, seen
+    assert seen == {0, 1}, "crossing token never sampled in 200 draws"

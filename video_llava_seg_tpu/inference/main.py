@@ -179,7 +179,8 @@ def keyword_stop_sequences(tokenizer, conv_template_name: str):
 def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
                      qs: str, conv_template_name: str, max_new_tokens: int,
                      seg_frames=None, seg_meta=None,
-                     eos_token_ids=(), stop_sequences=()):
+                     eos_token_ids=(), stop_sequences=(),
+                     temperature: float = 0.0, top_p=None, rng=None):
     prompt = build_prompt(cfg, qs, conv_template_name)
     frames = video_io.load_video_uniform(video_bytes, cfg.num_frames)
     from video_llava_seg_tpu.data.vicas import (
@@ -195,7 +196,9 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
     tokens, hidden, n = llava.generate(params, cfg, input_ids, video,
                                        max_new_tokens=max_new_tokens,
                                        eos_token_ids=tuple(eos_token_ids),
-                                       stop_sequences=tuple(stop_sequences))
+                                       stop_sequences=tuple(stop_sequences),
+                                       temperature=temperature, top_p=top_p,
+                                       rng=rng)
     n = int(n)
     out_ids = np.asarray(tokens)[0, :n]
     text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
@@ -213,7 +216,8 @@ def get_model_output_batched(params, cfg: VideoLlavaConfig, tokenizer,
                              video_bytes, queries, conv_template_name: str,
                              max_new_tokens: int, seg_frames=None,
                              seg_meta=None, eos_token_ids=(),
-                             stop_sequences=()):
+                             stop_sequences=(), temperature: float = 0.0,
+                             top_p=None, rng=None):
     """Serve several queries about ONE video in a single batched dispatch
     (--batch_queries): the video decodes and encodes once (its visual
     tokens broadcast across rows), ragged prompts left-pad, rows stop
@@ -244,7 +248,7 @@ def get_model_output_batched(params, cfg: VideoLlavaConfig, tokenizer,
         params, cfg, ids, video, max_new_tokens=max_new_tokens,
         eos_token_ids=tuple(eos_token_ids),
         stop_sequences=tuple(stop_sequences), pad_side="left",
-        input_lens=lens)
+        input_lens=lens, temperature=temperature, top_p=top_p, rng=rng)
     n = int(n)
     outs = []
     for r, (qs, wants_seg) in enumerate(queries):
@@ -268,6 +272,11 @@ def run_inference(args, model=None):
     tests and by callers that already hold the model in memory."""
     import jax
 
+    if int(getattr(args, "num_beams", 1) or 1) != 1:
+        raise SystemExit("--num_beams > 1 (beam search) is not supported; "
+                         "the reference's published pipelines decode "
+                         "greedily (num_beams=1) — use --temperature/"
+                         "--top_p for sampled decoding")
     if model is not None:
         params, cfg, tokenizer = model
     else:
@@ -392,6 +401,19 @@ def run_inference(args, model=None):
             return (f"\n{ref['prompt']} Please output the segmentation "
                     "mask."), True
 
+        # sampling gate mirrors the reference CLI (main.py:124-138):
+        # do_sample iff temperature > 0; the rng is fixed per video so a
+        # resumed run reproduces the same sampled captions
+        temp = float(getattr(args, "temperature", 0.0) or 0.0)
+        sample_kwargs = {}
+        if temp > 0.0:
+            import jax
+
+            sample_kwargs = {
+                "temperature": temp,
+                "top_p": getattr(args, "top_p", None),
+                "rng": jax.random.PRNGKey(video_id),
+            }
         bq = max(1, int(getattr(args, "batch_queries", 1) or 1))
         if bq > 1:
             # batched serving: group this video's queries into one ragged
@@ -403,7 +425,7 @@ def run_inference(args, model=None):
                     [query_of(i) for i in group], conv_template_name,
                     args.max_new_tokens, seg_frames=seg_frames,
                     seg_meta=seg_meta, eos_token_ids=eos_ids,
-                    stop_sequences=stop_seqs)
+                    stop_sequences=stop_seqs, **sample_kwargs)
                 for idx, (text, logits) in zip(group, outs):
                     absorb(idx, text, logits)
         else:
@@ -415,7 +437,7 @@ def run_inference(args, model=None):
                     params, cfg, tokenizer, video_bytes, qs,
                     conv_template_name, args.max_new_tokens,
                     eos_token_ids=eos_ids, stop_sequences=stop_seqs,
-                    **kwargs)
+                    **kwargs, **sample_kwargs)
                 absorb(idx, text, logits)
         with open(output_path, "w") as fh:
             json.dump(pred, fh)

@@ -555,11 +555,41 @@ def decode_step(params, cfg: LlamaConfig, token_embeds, cache: KVCache,
     return logits, x, cache
 
 
+def _select_token(logits, temperature: float, top_p, key):
+    """Next-token choice from [B, V] logits. temperature == 0 (static) is
+    argmax; > 0 samples from softmax(logits / T), optionally nucleus-
+    filtered: HF TopPLogitsWarper semantics — keep the smallest
+    highest-probability set whose cumulative mass reaches top_p (the
+    crossing token included; at least one always kept). The reference
+    reaches this via HF generate's do_sample gate
+    (llava/inference/main.py:124-138)."""
+    if not temperature:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_p is not None:
+        srt = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # token kept iff the mass STRICTLY before it is still < top_p
+        keep = (cum - probs) < top_p
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        scaled = jnp.where(scaled >= thresh, scaled, -jnp.inf)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
 def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
                     max_new_tokens: int, eos_token_ids: Tuple[int, ...],
                     stop_sequences: Tuple[Tuple[int, ...], ...] = (),
-                    pad_lens=None, interpret: bool = False):
-    """Greedy decode under jit: prefill + while_loop decode.
+                    pad_lens=None, temperature: float = 0.0,
+                    top_p=None, rng=None, interpret: bool = False):
+    """Greedy (or sampled) decode under jit: prefill + while_loop decode.
+
+    temperature / top_p mirror the reference CLI's sampling gate
+    (inference/main.py:124-138: do_sample iff temperature > 0, nucleus
+    top_p): temperature == 0.0 (the published-pipeline default) is exact
+    greedy argmax; > 0.0 samples in-graph via jax.random.categorical with
+    `rng` folded per step (required then; deterministic for a fixed key).
 
     inputs_embeds: [B, S, D]. The whole pipeline is batch-native (the
     reference hard-asserts batch 1 at inference, llava_llama.py:313): rows
@@ -584,6 +614,8 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
     Returns (tokens [B, max_new_tokens] int32 — padded with eos after stop,
     hidden [B, max_new_tokens, D] — post-norm hidden state of each emitted
     token, num_generated scalar)."""
+    if temperature and rng is None:
+        raise ValueError("temperature > 0 requires an rng key")
     b, s, d = inputs_embeds.shape
     max_len = s + max_new_tokens
     cache = init_kv_cache(cfg, b, max_len, dtype=inputs_embeds.dtype)
@@ -593,7 +625,9 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
     logits, hidden, cache = prefill(params, cfg, inputs_embeds, pos, cache,
                                     kv_mask=kv_mask, last_logit_only=True,
                                     interpret=interpret)
-    first_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    first_tok = _select_token(
+        logits[:, -1], temperature, top_p,
+        jax.random.fold_in(rng, 0) if temperature else None)
 
     eos = jnp.asarray(eos_token_ids, jnp.int32)
 
@@ -620,7 +654,9 @@ def greedy_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
         # the state that emitted the token — llava_llama.py:186-190)
         hiddens = jax.lax.dynamic_update_slice(
             hiddens, h.astype(hiddens.dtype), (0, i + 1, 0))
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        nxt = _select_token(
+            logits[:, -1], temperature, top_p,
+            jax.random.fold_in(rng, i + 1) if temperature else None)
         # per-sample stop: a row is done once IT has emitted an eos — other
         # rows keep decoding (the loop exits when all rows are done)
         done = jnp.logical_or(done, jnp.isin(tok, eos))

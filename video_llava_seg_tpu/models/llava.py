@@ -236,8 +236,11 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
              stop_sequences: Tuple[Tuple[int, ...], ...] = (),
              pad_side: str = "right",
              input_lens: Optional[np.ndarray] = None,
+             temperature: float = 0.0, top_p=None, rng=None,
              interpret: bool = False):
-    """Greedy caption generation, batch-native.
+    """Caption generation, batch-native; greedy by default, in-graph
+    temperature/top_p sampling when temperature > 0 (reference
+    inference/main.py:124-138 do_sample gate — see llama._select_token).
 
     The reference hard-asserts batch 1 here (llava_llama.py:313); this
     path serves B clips per dispatch (bench config 7) — equal-length
@@ -270,6 +273,7 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
         params["llm"], cfg.llm, embeds, prompt_len=embeds.shape[1],
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
         stop_sequences=stop_sequences, pad_lens=pad_lens,
+        temperature=temperature, top_p=top_p, rng=rng,
         interpret=interpret)
     return tokens, hidden, n
 
