@@ -444,6 +444,13 @@ def bench_caption(n_layers=8, prefill_len=5120, decode_steps=32,
             1e3 * t_decode_6, 2)
     except Exception as e:  # pragma: no cover - chip-side guard
         out["kv8_error"] = f"{type(e).__name__}: {e}"[:200]
+    # headline value for single-config summary lines: best measured
+    # full-depth decode latency across the serving ladder
+    decode_keys = [v for k, v in out.items()
+                   if k.startswith("decode_ms_per_tok_full")]
+    if decode_keys:
+        out["value"] = min(decode_keys)
+        out["unit"] = "ms/tok decode (best full-depth serving ladder)"
     return out
 
 

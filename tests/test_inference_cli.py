@@ -240,10 +240,22 @@ def test_run_inference_sampling_and_beam_gate(vicas_env, tmp_path):
         again = json.load(fh)
     assert again["pred_caption"] == first["pred_caption"]
 
+    # beam sampling (temperature > 0 AND num_beams > 1) is rejected
     args.num_beams = 4
-    args.output_dir = str(tmp_path / "out_beams")
+    args.output_dir = str(tmp_path / "out_beam_sample")
     with pytest.raises(SystemExit):
         run_inference(args, model=_tiny_model())
+
+    # beams alone route through llama.beam_generate and produce the
+    # full output schema
+    args.temperature = 0.0
+    args.num_beams = 3
+    args.output_dir = str(tmp_path / "out_beams")
+    run_inference(args, model=_tiny_model())
+    with open(osp.join(args.output_dir, "000007.json")) as fh:
+        beams = json.load(fh)
+    assert isinstance(beams["pred_caption"], str)
+    assert len(beams["pred_lgvis_masks"]) == 1
 
 
 def test_load_model_orbax_and_quant_gates(tmp_path):

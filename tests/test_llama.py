@@ -466,3 +466,89 @@ def test_select_token_top_p_nucleus_mass():
     # crossing), before idx2 = .7 >= .5 (cut)
     assert seen <= {0, 1}, seen
     assert seen == {0, 1}, "crossing token never sampled in 200 draws"
+
+
+def test_beam_width_1_matches_greedy(params):
+    """num_beams=1 must reduce exactly to greedy decoding (same tokens,
+    same captured hidden states) — log_softmax is monotonic in the
+    logits, so the single beam follows the argmax path."""
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    embeds = llama.embed(params, ids)
+    tg, hg, ng = llama.greedy_generate(params, CFG, embeds, prompt_len=8,
+                                       max_new_tokens=6,
+                                       eos_token_ids=(99999,))
+    tb, hb, nb = llama.beam_generate(params, CFG, embeds, prompt_len=8,
+                                     max_new_tokens=6,
+                                     eos_token_ids=(99999,), num_beams=1)
+    np.testing.assert_array_equal(np.asarray(tb), np.asarray(tg))
+    np.testing.assert_allclose(np.asarray(hb, np.float32),
+                               np.asarray(hg, np.float32),
+                               atol=1e-5, rtol=1e-5)
+    assert int(nb) == int(ng)
+
+
+def test_beam_exact_two_step_optimum(params):
+    """With beam width = vocab size, a 2-step beam search is EXHAUSTIVE:
+    it must return the globally best 2-token continuation, which this
+    test computes independently (prefill distribution + one batched
+    decode over every possible first token)."""
+    v = CFG.vocab_size
+    ids = jnp.asarray([[5, 6, 7, 8]])
+    embeds = llama.embed(params, ids)
+
+    cache = llama.init_kv_cache(CFG, 1, 6, dtype=embeds.dtype)
+    logits, _, cache = llama.prefill(params, CFG, embeds,
+                                     jnp.arange(4)[None], cache,
+                                     last_logit_only=True)
+    logp0 = np.asarray(jax.nn.log_softmax(
+        logits[0, -1].astype(jnp.float32)))
+    # batch all v candidate first tokens through one decode step
+    cache_v = llama.KVCache(
+        jnp.repeat(cache.k, v, axis=1), jnp.repeat(cache.v, v, axis=1),
+        cache.length,
+        None if cache.k_scale is None else jnp.repeat(cache.k_scale, v,
+                                                      axis=1),
+        None if cache.v_scale is None else jnp.repeat(cache.v_scale, v,
+                                                      axis=1))
+    emb1 = llama.embed(params, jnp.arange(v, dtype=jnp.int32)[:, None])
+    logits1, _, _ = llama.decode_step(params, CFG,
+                                      emb1.astype(embeds.dtype), cache_v)
+    logp1 = np.asarray(jax.nn.log_softmax(
+        logits1[:, -1].astype(jnp.float32)))          # [v, v]
+    total = logp0[:, None] + logp1
+    flat = int(np.argmax(total))
+    expect = (flat // v, flat % v)
+
+    toks, _, _ = llama.beam_generate(params, CFG, embeds, prompt_len=4,
+                                     max_new_tokens=2,
+                                     eos_token_ids=(99999,), num_beams=v)
+    got = tuple(int(x) for x in np.asarray(toks)[0])
+    assert got == expect, (got, expect, float(total[expect]),
+                           float(total[got]))
+
+
+def test_beam_score_at_least_greedy(params):
+    """A width-4 beam's winning sequence must score (teacher-forced sum
+    logprob) at least as high as the greedy sequence."""
+    ids = jnp.asarray([[9, 8, 7, 6, 5, 4]])
+    embeds = llama.embed(params, ids)
+
+    def seq_score(toks):
+        toks = np.asarray(toks)[0]
+        full = jnp.concatenate(
+            [embeds, llama.embed(params, toks[None])], axis=1)
+        logits, _ = llama.forward(params, CFG, full,
+                                  jnp.arange(full.shape[1]))
+        lp = np.asarray(jax.nn.log_softmax(
+            logits[0].astype(jnp.float32)))
+        # position s-1+j predicts emitted token j
+        return sum(lp[embeds.shape[1] - 1 + j, t]
+                   for j, t in enumerate(toks))
+
+    tg, _, _ = llama.greedy_generate(params, CFG, embeds, prompt_len=6,
+                                     max_new_tokens=5,
+                                     eos_token_ids=(99999,))
+    tb, _, _ = llama.beam_generate(params, CFG, embeds, prompt_len=6,
+                                   max_new_tokens=5,
+                                   eos_token_ids=(99999,), num_beams=4)
+    assert seq_score(tb) >= seq_score(tg) - 1e-4

@@ -180,7 +180,8 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
                      qs: str, conv_template_name: str, max_new_tokens: int,
                      seg_frames=None, seg_meta=None,
                      eos_token_ids=(), stop_sequences=(),
-                     temperature: float = 0.0, top_p=None, rng=None):
+                     temperature: float = 0.0, top_p=None, rng=None,
+                     num_beams: int = 1):
     prompt = build_prompt(cfg, qs, conv_template_name)
     frames = video_io.load_video_uniform(video_bytes, cfg.num_frames)
     from video_llava_seg_tpu.data.vicas import (
@@ -198,7 +199,7 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
                                        eos_token_ids=tuple(eos_token_ids),
                                        stop_sequences=tuple(stop_sequences),
                                        temperature=temperature, top_p=top_p,
-                                       rng=rng)
+                                       rng=rng, num_beams=num_beams)
     n = int(n)
     out_ids = np.asarray(tokens)[0, :n]
     text = tokenizer.decode(out_ids, skip_special_tokens=True).strip()
@@ -272,11 +273,13 @@ def run_inference(args, model=None):
     tests and by callers that already hold the model in memory."""
     import jax
 
-    if int(getattr(args, "num_beams", 1) or 1) != 1:
-        raise SystemExit("--num_beams > 1 (beam search) is not supported; "
-                         "the reference's published pipelines decode "
-                         "greedily (num_beams=1) — use --temperature/"
-                         "--top_p for sampled decoding")
+    nb = int(getattr(args, "num_beams", 1) or 1)
+    if nb > 1 and float(getattr(args, "temperature", 0.0) or 0.0) > 0.0:
+        raise SystemExit("--num_beams > 1 with --temperature > 0 (beam "
+                         "sampling) is not supported; pick one")
+    if nb > 1 and int(getattr(args, "batch_queries", 1) or 1) > 1:
+        raise SystemExit("--num_beams > 1 serves one prompt at a time; "
+                         "drop --batch_queries")
     if model is not None:
         params, cfg, tokenizer = model
     else:
@@ -414,6 +417,10 @@ def run_inference(args, model=None):
                 "top_p": getattr(args, "top_p", None),
                 "rng": jax.random.PRNGKey(video_id),
             }
+        elif nb > 1:
+            # in-graph beam search (llama.beam_generate); HF default
+            # length_penalty 1.0
+            sample_kwargs = {"num_beams": nb}
         bq = max(1, int(getattr(args, "batch_queries", 1) or 1))
         if bq > 1:
             # batched serving: group this video's queries into one ragged

@@ -237,6 +237,7 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
              pad_side: str = "right",
              input_lens: Optional[np.ndarray] = None,
              temperature: float = 0.0, top_p=None, rng=None,
+             num_beams: int = 1, length_penalty: float = 1.0,
              interpret: bool = False):
     """Caption generation, batch-native; greedy by default, in-graph
     temperature/top_p sampling when temperature > 0 (reference
@@ -269,6 +270,17 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
     if pad_side == "left":
         pad_lens = jnp.asarray(
             plan.gather_idx.shape[1] - plan.seq_lens, jnp.int32)
+    if num_beams > 1:
+        if temperature:
+            raise ValueError("beam search and sampling are exclusive "
+                             "(HF beam-sample is not supported)")
+        if embeds.shape[0] != 1:
+            raise ValueError("beam search serves one prompt at a time")
+        return llama.beam_generate(
+            params["llm"], cfg.llm, embeds, prompt_len=embeds.shape[1],
+            max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
+            num_beams=num_beams, length_penalty=length_penalty,
+            stop_sequences=stop_sequences, interpret=interpret)
     tokens, hidden, n = llama.greedy_generate(
         params["llm"], cfg.llm, embeds, prompt_len=embeds.shape[1],
         max_new_tokens=max_new_tokens, eos_token_ids=eos_token_ids,
