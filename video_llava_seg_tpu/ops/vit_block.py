@@ -503,14 +503,13 @@ def vit_layer(p, x, *, num_heads: int, eps: float, kv_len: int = -1,
     assert backend == "pallas", backend
     if qk == "w8a8":
         # forward-only (inference) fused int8 path. OFF on hardware by
-        # default: at the CLIP-L serving shape it intermittently faults
-        # the TPU worker (nondeterministic — same executable passes and
-        # crashes across runs; the structurally identical bf16 kernel is
-        # stable, so the int8 weight DMAs are implicated; measured 3
-        # crashes / 5 runs at 128x584x1024, 2026-08-18). The XLA W8A8
-        # path (nn.dense kernel_qa) is stable and was within noise of the
-        # fused kernel at ViT widths (BENCH_NOTES: W8A8 is a wash at
-        # D=1024), so stability wins until the fault is root-caused.
+        # default, for speed as much as stability: a solo standalone
+        # trial at [128, 584, 1024] ran ~145 ms/layer vs ~4.5 ms for the
+        # structurally identical bf16 kernel (in-kernel int8 relayouts
+        # into the MXU appear to hit a slow Mosaic path when the int8
+        # operands are VPU-computed rather than ref-loaded), and earlier
+        # runs intermittently faulted the worker. The XLA W8A8 path
+        # (nn.dense kernel_qa) is stable and fast (252 f/s, config 3).
         if FUSED_I8_ON_TPU or interpret:
             return _vit_layer_pallas_i8(x, _flat_weights_i8(p),
                                         num_heads=num_heads, eps=eps,
