@@ -27,22 +27,8 @@ TINY = sam2_tiny_test_config()
 
 
 def _ref_memory_encoder():
-    from sam2.modeling.memory_encoder import (CXBlock, Fuser, MaskDownSampler,
-                                              MemoryEncoder)
-    from sam2.modeling.position_encoding import PositionEmbeddingSine
-    torch.manual_seed(10)
-    me = TINY.memory_encoder
-    return MemoryEncoder(
-        out_dim=me.out_dim,
-        mask_downsampler=MaskDownSampler(embed_dim=me.mask_downsampler_embed_dim,
-                                         kernel_size=3, stride=2, padding=1),
-        fuser=Fuser(CXBlock(dim=me.in_dim, kernel_size=7, padding=3,
-                            layer_scale_init_value=1e-6, use_dwconv=True),
-                    num_layers=2),
-        position_encoding=PositionEmbeddingSine(num_pos_feats=me.pos_num_feats,
-                                                normalize=True, scale=None,
-                                                temperature=10000),
-        in_dim=me.in_dim).eval()
+    from tests.reference_builders import ref_memory_encoder
+    return ref_memory_encoder(TINY)
 
 
 def test_memory_encoder_parity():
@@ -68,27 +54,8 @@ def test_memory_encoder_parity():
 
 
 def _ref_memory_attention():
-    from sam2.modeling.memory_attention import (MemoryAttention,
-                                                MemoryAttentionLayer)
-    from sam2.modeling.sam.transformer import RoPEAttention
-    torch.manual_seed(11)
-    ma = TINY.memory_attention
-    layer = MemoryAttentionLayer(
-        activation="relu", dim_feedforward=ma.dim_feedforward, dropout=0.1,
-        pos_enc_at_attn=False, d_model=ma.d_model,
-        pos_enc_at_cross_attn_keys=True, pos_enc_at_cross_attn_queries=False,
-        self_attention=RoPEAttention(rope_theta=10000.0, feat_sizes=[8, 8],
-                                     embedding_dim=ma.d_model,
-                                     num_heads=ma.num_heads,
-                                     downsample_rate=1, dropout=0.1),
-        cross_attention=RoPEAttention(rope_theta=10000.0, feat_sizes=[8, 8],
-                                      rope_k_repeat=True,
-                                      embedding_dim=ma.d_model,
-                                      num_heads=ma.num_heads,
-                                      downsample_rate=1, dropout=0.1,
-                                      kv_in_dim=ma.kv_in_dim))
-    return MemoryAttention(d_model=ma.d_model, pos_enc_at_input=True,
-                           layer=layer, num_layers=ma.num_layers).eval()
+    from tests.reference_builders import ref_memory_attention
+    return ref_memory_attention(TINY)
 
 
 def test_memory_attention_parity():
@@ -120,49 +87,13 @@ def test_memory_attention_parity():
 
 
 def _ref_sam2_base():
-    from sam2.modeling.backbones.hieradet import Hiera
-    from sam2.modeling.backbones.image_encoder import FpnNeck, ImageEncoder
-    from sam2.modeling.position_encoding import PositionEmbeddingSine
-    from sam2.modeling.sam2_base import SAM2Base
-    torch.manual_seed(13)
-    h = TINY.hiera
-    trunk = Hiera(embed_dim=h.embed_dim, num_heads=h.num_heads,
-                  stages=h.stages, global_att_blocks=h.global_att_blocks,
-                  window_spec=h.window_spec,
-                  window_pos_embed_bkg_spatial_size=
-                  h.window_pos_embed_bkg_spatial_size)
-    neck = FpnNeck(
-        position_encoding=PositionEmbeddingSine(
-            num_pos_feats=TINY.fpn.pos_num_feats, normalize=True, scale=None,
-            temperature=10000),
-        d_model=TINY.fpn.d_model,
-        backbone_channel_list=list(h.channel_list),
-        fpn_top_down_levels=[2, 3], fpn_interp_model="nearest")
-    enc = ImageEncoder(trunk=trunk, neck=neck, scalp=1)
-    mem_att = _ref_memory_attention()
-    mem_enc = _ref_memory_encoder()
-    model = SAM2Base(
-        image_encoder=enc, memory_attention=mem_att, memory_encoder=mem_enc,
-        num_maskmem=7, image_size=TINY.image_size,
-        sigmoid_scale_for_mem_enc=20.0, sigmoid_bias_for_mem_enc=-10.0,
-        use_mask_input_as_output_without_sam=True,
-        directly_add_no_mem_embed=True, no_obj_embed_spatial=True,
-        use_high_res_features_in_sam=True, multimask_output_in_sam=True,
-        iou_prediction_use_sigmoid=True, use_obj_ptrs_in_encoder=True,
-        add_tpos_enc_to_obj_ptrs=True, proj_tpos_enc_in_obj_ptrs=True,
-        use_signed_tpos_enc_to_obj_ptrs=True,
-        only_obj_ptrs_in_the_past_for_eval=True, pred_obj_scores=True,
-        pred_obj_scores_mlp=True, fixed_no_obj_ptr=True,
-        multimask_output_for_tracking=True,
-        use_multimask_token_for_obj_ptr=True, multimask_min_pt_num=0,
-        multimask_max_pt_num=1, use_mlp_for_obj_ptr_proj=True,
-        sam_mask_decoder_extra_args={
-            "dynamic_multimask_via_stability": True,
-            "dynamic_multimask_stability_delta": 0.05,
-            "dynamic_multimask_stability_thresh": 0.98,
-        }).eval()
-    # shrink the decoder dims to the tiny config
-    return model
+    # the original tiny oracle was built with the DEFAULT
+    # max_obj_ptrs_in_encoder (16), not TINY's 4 — keep that behavior
+    import dataclasses
+
+    from tests.reference_builders import ref_sam2_base
+    return ref_sam2_base(
+        dataclasses.replace(TINY, max_obj_ptrs_in_encoder=16))
 
 
 @pytest.fixture(scope="module")

@@ -54,9 +54,14 @@ def _pad_vocab(weight: np.ndarray, target: int) -> np.ndarray:
 
 def convert_llava_state_dict(sd: Dict[str, np.ndarray],
                              cfg: VideoLlavaConfig,
-                             params: Optional[dict] = None) -> dict:
+                             params: Optional[dict] = None,
+                             sam2_no_mem_embed=None) -> dict:
     """Convert a full reference state dict; fall back to `params` entries for
-    components missing from the checkpoint (e.g. seg head at stage 2->3)."""
+    components missing from the checkpoint (e.g. seg head at stage 2->3).
+
+    sam2_no_mem_embed: the SAM2 backbone checkpoint's no_mem_embed tensor —
+    required when converting a REAL reference checkpoint with a seg head,
+    because the reference never serializes it (seg_head.convert_torch)."""
     from video_llava_seg_tpu.convert.hf_clip import convert_clip_vision
     from video_llava_seg_tpu.convert.hf_llama import convert_llama
     from video_llava_seg_tpu.models import projector as proj_mod
@@ -105,11 +110,23 @@ def convert_llava_state_dict(sd: Dict[str, np.ndarray],
         seg_sd = {k[len("model.seg_head."):]: v for k, v in sd.items()
                   if k.startswith("model.seg_head.")}
         sam2_cfg = seg_mod.make_sam2_cfg(cfg.seg)
-        out["seg_head"] = seg_mod.convert_torch(seg_sd, cfg.seg, sam2_cfg)
+        out["seg_head"] = seg_mod.convert_torch(
+            seg_sd, cfg.seg, sam2_cfg, no_mem_embed=sam2_no_mem_embed)
     return out
 
 
 def load_llava_weights(model_dir: str, cfg: VideoLlavaConfig,
-                       params: Optional[dict] = None) -> dict:
+                       params: Optional[dict] = None,
+                       sam2_ckpt: Optional[str] = None) -> dict:
+    """sam2_ckpt: path to the SAM2 backbone .pt checkpoint — supplies the
+    non-serialized no_mem_embed when the llava checkpoint carries a seg
+    head (mirrors the reference re-building the head from the hub,
+    llava/model/seg_head/builder.py + sam2/build_sam.py:141-151)."""
+    no_mem = None
+    if sam2_ckpt is not None:
+        import torch
+
+        ck = torch.load(sam2_ckpt, map_location="cpu", weights_only=True)
+        no_mem = ck.get("model", ck)["no_mem_embed"].float().numpy()
     return convert_llava_state_dict(load_torch_shards(model_dir), cfg,
-                                    params)
+                                    params, sam2_no_mem_embed=no_mem)

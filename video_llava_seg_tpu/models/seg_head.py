@@ -52,10 +52,17 @@ def init(key, cfg: SegHeadConfig, llm_hidden_size: int,
 
 
 def convert_torch(sd, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
-                  prefix: str = "") -> Dict:
+                  prefix: str = "", no_mem_embed=None) -> Dict:
     """Torch SegmentationHeadSAM2 state dict -> params (keys:
     image_encoder.*, prompt_encoder.*, mask_decoder.*, no_mem_embed,
-    proj_token)."""
+    proj_token).
+
+    no_mem_embed: the reference head holds it as a PLAIN tensor attribute
+    (llava/model/seg_head/sam2.py:24), so a saved LLaVA checkpoint does
+    NOT contain it — the reference re-obtains it from the hub SAM2
+    checkpoint at build time (sam2.py:15). Real-checkpoint callers must
+    pass it here (from the SAM2 backbone checkpoint's 'no_mem_embed'
+    param); test fixtures save it into sd directly."""
     import numpy as np
 
     from video_llava_seg_tpu.convert.sam2_torch import (
@@ -64,7 +71,17 @@ def convert_torch(sd, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
         convert_prompt_encoder,
     )
 
-    no_mem = np.asarray(sd[f"{prefix}no_mem_embed"])
+    if f"{prefix}no_mem_embed" in sd:
+        no_mem = np.asarray(sd[f"{prefix}no_mem_embed"])
+    elif no_mem_embed is not None:
+        no_mem = np.asarray(no_mem_embed)
+    else:
+        raise KeyError(
+            "no_mem_embed is not in the seg-head state dict (the reference "
+            "stores it as a non-persistent attribute, "
+            "llava/model/seg_head/sam2.py:24) — pass the SAM2 backbone "
+            "checkpoint's no_mem_embed via the no_mem_embed= argument "
+            "(load_llava_weights(sam2_dir=...) / golden_parity --sam2_ckpt)")
     if no_mem.ndim == 4:  # stored as [1, C, 1, 1] in the reference head
         no_mem = no_mem.reshape(1, 1, -1)
     return {
@@ -110,7 +127,10 @@ def decode_masks(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
     backbone_feats: [T, h, w, C]; high_res_feats: list of [T, ., ., .];
     seg_tokens: [N, llm_hidden] ([SEG] hidden states for N objects).
 
-    Returns low-res mask logits [N, T, 4h, 4w] (max over Q queries)."""
+    Returns low-res mask logits [N, Q, T, 4h, 4w] — PER QUERY: the
+    reference takes the max over an object's Q queries only AFTER
+    postprocess interpolation (sam2.py:102-128), and max does not commute
+    with bilinear resize; callers postprocess then reduce."""
     out = decode_masks_batched(
         params, cfg, sam2_cfg, backbone_feats[None],
         [h[None] for h in high_res_feats], seg_tokens[None], interpret)
@@ -123,11 +143,13 @@ def decode_masks_batched(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
     """Decode masks for a BATCH of videos in one mask-decoder dispatch.
 
     backbone_feats: [B, T, h, w, C]; high_res_feats: list of [B, T, ...];
-    seg_tokens: [B, N, llm_hidden]. Returns [B, N, T, 4h, 4w] — the batched
-    replacement for the reference's per-video/per-frame decode loop
+    seg_tokens: [B, N, llm_hidden]. Returns [B, N, Q, T, 4h, 4w] — the
+    batched replacement for the reference's per-video/per-frame decode loop
     (llava/model/seg_head/sam2.py:102-124); the whole (B x T x N x Q)
     product runs as one flat decoder batch so compile time and dispatch
-    count do not scale with the per-chip batch size."""
+    count do not scale with the per-chip batch size. The Q axis stays
+    unreduced: the reference maxes over queries AFTER its postprocess
+    interpolation (sam2.py:126-128), so callers resize first, then max."""
     q = cfg.seg_num_queries
     bsz, t = backbone_feats.shape[:2]
     n = seg_tokens.shape[1]
@@ -159,10 +181,9 @@ def decode_masks_batched(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
     low_res, ious, _, _ = sam2_mask_decoder.apply(
         params["mask_decoder"], sam2_cfg, img, image_pe, sp, dn,
         multimask_output=False, high_res_features=hr, interpret=interpret)
-    # [B*T*NQ, 1, 4s, 4s] -> [B, N, Q, T, 4s, 4s] -> max over Q
+    # [B*T*NQ, 1, 4s, 4s] -> [B, N, Q, T, 4s, 4s]
     low_res = low_res.reshape(bsz, t, n, q, 4 * s, 4 * s)
-    low_res = low_res.transpose(0, 2, 3, 1, 4, 5)
-    return jnp.max(low_res, axis=2)
+    return low_res.transpose(0, 2, 3, 1, 4, 5)
 
 
 def postprocess_masks(masks, meta: Dict[str, Any], image_size: int,
@@ -192,7 +213,10 @@ def forward(params, cfg: SegHeadConfig, sam2_cfg: SAM2Config,
         feats, high_res = encode_video_frames(params, sam2_cfg, frames,
                                               interpret)
         low = decode_masks(params, cfg, sam2_cfg, feats, high_res, tokens,
-                           interpret)
-        outputs.append(postprocess_masks(low, meta, sam2_cfg.image_size,
-                                         resize_to_original_dims))
+                           interpret)                     # [N, Q, T, h, w]
+        post = postprocess_masks(low, meta, sam2_cfg.image_size,
+                                 resize_to_original_dims)
+        # max over per-object queries AFTER postprocess (sam2.py:126-128;
+        # max does not commute with the bilinear resizes above)
+        outputs.append(jnp.max(post, axis=1))
     return outputs

@@ -86,14 +86,17 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
                                          axis=1)            # [B, N, D]
         low = seg_head_mod.decode_masks_batched(
             params["seg_head"], cfg.seg, sam2_cfg, feats, high_res,
-            seg_tokens, interpret)                  # [B, N, Ts, s/4, s/4]
+            seg_tokens, interpret)               # [B, N, Q, Ts, s/4, s/4]
         low = maybe_constrain_grad(low, "data")
         # reference computes the loss at the model-res UNPADDED size
         # (forward_seg_head_train uses resize_to_original_dims=False);
         # static-shape equivalent: upsample to padded img_sz and mask
-        # the padded region out of every loss term
+        # the padded region out of every loss term. The max over an
+        # object's Q queries comes AFTER the upsample (sam2.py:126-128 —
+        # max does not commute with bilinear resize).
         pred = interpolate_hw(low.astype(jnp.float32),
                               (img_sz, img_sz), "bilinear")
+        pred = jnp.max(pred, axis=2)                # [B, N, Ts, img, img]
 
         def per_sample(pred_b, gt_b, valid_b, n_valid_b, pad_b, has_b, key):
             ys = jnp.arange(img_sz)
