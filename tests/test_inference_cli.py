@@ -352,3 +352,51 @@ def test_run_inference_batched_queries(vicas_env, tmp_path):
         b = json.load(fh)
     assert b["pred_caption"] == a["pred_caption"]
     assert b["pred_lgvis_masks"] == a["pred_lgvis_masks"]
+
+
+def test_batch2_fence_pads_to_green_batch(vicas_env, tmp_path, monkeypatch):
+    """A 2-row serving group reproducibly crashes the TPU worker (bisected in
+    BENCH_NOTES.md). The fence pads batch 2 -> 4 with duplicate rows before
+    dispatch; the real rows' outputs must be token-exact vs the sequential
+    batch-1 run (this is the same output-equality contract as
+    test_run_inference_batched_queries, plus an assertion that generate
+    actually sees the padded batch)."""
+    from video_llava_seg_tpu.inference import main as inf_main
+    from video_llava_seg_tpu.models import llava
+
+    seen_batches = []
+    real_generate = llava.generate
+
+    def spy_generate(params, cfg, input_ids, video, **kw):
+        seen_batches.append(int(np.asarray(input_ids).shape[0]))
+        return real_generate(params, cfg, input_ids, video, **kw)
+
+    monkeypatch.setattr(inf_main.llava, "generate", spy_generate)
+
+    base = dict(
+        model_path="unused", gt_dir=None, output_dir=None,
+        num_chunks=1, chunk_idx=0, overwrite=False, print_captions=False,
+        dataset_version="v1.0", dataset_split="val", skip_seg=False,
+        skip_captions=False, max_new_tokens=4, temperature=0.0,
+        top_p=None, num_beams=1, conv_template="llava_llama_3",
+        seg_pad_mode="topleft")
+
+    seq = types.SimpleNamespace(**base)
+    seq.output_dir = str(tmp_path / "out_seq")
+    inf_main.run_inference(seq, model=_tiny_model())
+    assert seen_batches and all(b == 1 for b in seen_batches)
+
+    seen_batches.clear()
+    bat = types.SimpleNamespace(**base)
+    bat.output_dir = str(tmp_path / "out_bat")
+    bat.batch_queries = 2
+    inf_main.run_inference(bat, model=_tiny_model())
+    # fixture has 1 caption + 1 referral -> one group of 2, padded to 4
+    assert seen_batches == [4]
+
+    with open(osp.join(tmp_path, "out_seq", "000007.json")) as fh:
+        a = json.load(fh)
+    with open(osp.join(tmp_path, "out_bat", "000007.json")) as fh:
+        b = json.load(fh)
+    assert b["pred_caption"] == a["pred_caption"]
+    assert b["pred_lgvis_masks"] == a["pred_lgvis_masks"]

@@ -213,6 +213,17 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
     return text, pred_mask_logits
 
 
+# Batch sizes that fault the TPU worker -> nearest verified-green batch.
+# Batch 2 is the single bisected faulting size (BENCH_NOTES.md "Batch-2
+# serving fault"); 1, 4 and 8 are verified clean on chip.
+_FAULTING_BATCH_PAD = {2: 4}
+
+
+def _green_batch(n: int) -> int:
+    """Map a requested serving batch to one known not to fault the worker."""
+    return _FAULTING_BATCH_PAD.get(n, n)
+
+
 def get_model_output_batched(params, cfg: VideoLlavaConfig, tokenizer,
                              video_bytes, queries, conv_template_name: str,
                              max_new_tokens: int, seg_frames=None,
@@ -241,6 +252,19 @@ def get_model_output_batched(params, cfg: VideoLlavaConfig, tokenizer,
     rows = [np.asarray(tokenizer_image_token(
         build_prompt(cfg, qs, conv_template_name), tokenizer))
         for qs, _ in queries]
+    n_real = len(rows)
+    pad_to = _green_batch(n_real)
+    if pad_to != n_real:
+        # batch-2 fence: exactly batch 2 reproducibly crashes the TPU worker
+        # when the vision-encode executable is resident (BENCH_NOTES.md
+        # "Batch-2 serving fault" — infra-level, every component green solo;
+        # batches 1/4/8 run the identical structure and pass). Rows are
+        # independent under left-pad attention, so padding with duplicates of
+        # the last row is token-exact for the real rows; the dummies are
+        # sliced off below.
+        print(f"[batch fence] padding batch {n_real} -> {pad_to} "
+              "(see BENCH_NOTES.md: batch-2 serving fault)")
+        rows = rows + [rows[-1]] * (pad_to - n_real)
     lens = np.asarray([len(r) for r in rows])
     ids = np.zeros((len(rows), int(lens.max())), rows[0].dtype)
     for r, row in enumerate(rows):
@@ -314,11 +338,17 @@ def run_inference(args, model=None):
         from jax.sharding import NamedSharding, PartitionSpec
 
         from video_llava_seg_tpu.config import MeshConfig
+        from video_llava_seg_tpu.ops import int4 as int4_mod
         from video_llava_seg_tpu.parallel.mesh import (
             create_mesh,
             shard_params,
         )
 
+        # TP-sharded W4A8: a pallas_call is opaque to GSPMD (it would force
+        # an all-gather of the packed weights); the XLA unpack path runs the
+        # identical int32 math and partitions megatron-style
+        # (ops/int4.py:24-27, token-exact: tests/test_tp_serving.py)
+        int4_mod.USE_PALLAS_W4A8 = False
         mesh = create_mesh(MeshConfig(data_parallel=1, model_parallel=mp),
                            devices=jax.devices()[:mp])
         replicated = NamedSharding(mesh, PartitionSpec())
