@@ -171,6 +171,16 @@ class LlamaConfig:
         )
 
     @classmethod
+    def vicuna_7b(cls) -> "LlamaConfig":
+        """Vicuna-7B-v1.5 shape (Llama-2 architecture: MHA, rope 1e4,
+        vocab 32000) — the reference's legacy LLM family
+        (scripts/train/vicuna/stage*.sh, conv template v1)."""
+        return cls(vocab_size=32000, hidden_size=4096,
+                   intermediate_size=11008, num_layers=32, num_heads=32,
+                   num_kv_heads=32, head_dim=128, rope_theta=10000.0,
+                   rms_norm_eps=1e-5, max_seq_len=5824)
+
+    @classmethod
     def mistral_7b(cls) -> "LlamaConfig":
         """Mistral-7B-Instruct shape (llava_mistral.py wrapper parity)."""
         return cls(vocab_size=32000, hidden_size=4096,

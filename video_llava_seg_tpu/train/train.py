@@ -282,6 +282,16 @@ STAGE_PRESETS = {
                    with_seg=True),
 }
 
+#: LLM family presets (L9 parity: the reference ships BOTH a llama3 and a
+#: vicuna script family — scripts/train/{llama3,vicuna}/stage{1,2,3}*.sh).
+_LLM_FAMILIES = {
+    "llama3_8b": dict(tokenizer="meta-llama/Meta-Llama-3-8B-Instruct",
+                      conv_template="llava_llama_3", model_max_length=6144),
+    # vicuna/stage*.sh: lmsys/vicuna-7b-v1.5, --version v1, budget 5824
+    "vicuna_7b": dict(tokenizer="lmsys/vicuna-7b-v1.5",
+                      conv_template="v1", model_max_length=5824),
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -307,7 +317,18 @@ def main():
     ap.add_argument("--learning_rate", type=float, default=None,
                     help="override the LLM/projector peak LR")
     ap.add_argument("--vision_tower_lr", type=float, default=None)
-    ap.add_argument("--tokenizer", default="meta-llama/Meta-Llama-3-8B-Instruct")
+    ap.add_argument("--tokenizer", default=None,
+                    help="HF tokenizer id; defaults per --llm family")
+    ap.add_argument("--llm", default="llama3_8b",
+                    choices=("llama3_8b", "vicuna_7b"),
+                    help="LLM family preset (reference llama3/ and vicuna/ "
+                         "script families)")
+    ap.add_argument("--conv_template", default=None,
+                    help="supervised-preprocess template; defaults per "
+                         "--llm (llava_llama_3 / v1)")
+    ap.add_argument("--model_max_length", type=int, default=None,
+                    help="token budget override (reference: 6144 llama3, "
+                         "5824 vicuna)")
     args = ap.parse_args()
 
     from video_llava_seg_tpu.config import OptimGroupLRs
@@ -315,6 +336,21 @@ def main():
     preset = STAGE_PRESETS.get(args.stage, {})
     with_seg = preset.get("with_seg", True)
     cfg = (VideoLlavaConfig.tiny() if args.tiny else VideoLlavaConfig())
+    # LLM family preset (L9 parity: scripts/train/{llama3,vicuna}/):
+    # vicuna = Llama-2 arch + v1 conversation template + 5824 budget
+    fam = _LLM_FAMILIES[args.llm]
+    if not args.tiny and args.llm != "llama3_8b":
+        from video_llava_seg_tpu.config import LlamaConfig
+
+        cfg = dataclasses.replace(
+            cfg, llm=getattr(LlamaConfig, args.llm)(),
+            tokenizer_model_max_length=fam["model_max_length"])
+    conv_template = args.conv_template or fam["conv_template"]
+    if args.model_max_length is not None and not args.tiny:
+        cfg = dataclasses.replace(
+            cfg, tokenizer_model_max_length=args.model_max_length,
+            llm=dataclasses.replace(cfg.llm,
+                                    max_seq_len=args.model_max_length))
     if not with_seg and cfg.seg is not None:
         cfg = dataclasses.replace(cfg, seg=None)
 
@@ -341,11 +377,13 @@ def main():
         mesh=MeshConfig(model_parallel=args.model_parallel,
                         fsdp=args.fsdp))
     data_args = DataConfig(
-        dataset=args.dataset or preset.get("dataset", "vicas"))
+        dataset=args.dataset or preset.get("dataset", "vicas"),
+        conv_template=conv_template)
     tokenizer = None
     if not args.synthetic:
         from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.tokenizer or fam["tokenizer"])
         cfg = initialize_vision_tokenizer(tokenizer, cfg,
                                           with_seg=with_seg)
     train(cfg, tcfg, data_args, tokenizer,
