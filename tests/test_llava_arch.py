@@ -165,3 +165,36 @@ def test_generate_ragged_left_pad_batch(params):
                                     max_new_tokens=4, eos_token_ids=(99999,))
         np.testing.assert_array_equal(np.asarray(toks_b[r]),
                                       np.asarray(solo[0]))
+
+
+def test_dp_encode_8way_matches_single_device(params, mesh8):
+    """Data-parallel vision encode over the 8-device mesh — the executable
+    basis for the pod-level north-star argument (BASELINE >=2000 f/s is a
+    v5e-8 number: 8 chips x per-chip rate via DP dispatch; BENCH_NOTES
+    'Vision encode'). Params replicate, clips shard on 'data'; per-clip
+    outputs must match the single-device encode exactly (no cross-sample
+    reduction exists in the tower, so sharding cannot change the math)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b = 8
+    video = jax.random.uniform(
+        jax.random.PRNGKey(4),
+        (b, CFG.num_frames, CFG.vision.image_size, CFG.vision.image_size, 3))
+
+    def enc(p, v):
+        slow, fast = llava.encode_video(p, CFG, v)
+        return llava.flatten_visual_features(slow, fast)
+
+    ref = jax.jit(enc)(params, video)
+
+    p_repl = jax.device_put(params, NamedSharding(mesh8, P()))
+    v_sh = jax.device_put(video,
+                          NamedSharding(mesh8, P("data", None, None, None,
+                                                 None)))
+    with mesh8:
+        out = jax.jit(enc)(p_repl, v_sh)
+    # the output must actually be data-sharded (one clip per device pair),
+    # not silently all-gathered to replication
+    assert "data" in str(out.sharding.spec), out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -267,6 +267,54 @@ def test_scan_covers_interaction(predictors, video_dir):
                                    err_msg=f"frame {f}")
 
 
+def test_scan_covers_cond_overflow(predictors, video_dir):
+    """Cond frames beyond max_cond_frames_in_attn: the reference selects
+    the temporally closest subset PER FRAME (sam2_utils.py:19-61) and
+    attends unselected cond frames as non-cond memories/pointers
+    (sam2_base.py:564-567, 617-619). The scan path precomputes the
+    per-frame selection host-side and gathers it in-graph — long
+    multi-prompt sessions must no longer fall back to per-frame dispatch,
+    and must match the per-frame path."""
+    import dataclasses
+
+    _, mine = predictors
+    cfg2 = dataclasses.replace(TINY, max_cond_frames_in_attn=2)
+    pred2 = SAM2VideoPredictor(mine.params, cfg2)
+
+    def run(use_scan):
+        pred2.use_scan_propagation = use_scan
+        state = pred2.init_state(video_dir)
+        # three prompted frames -> 3 cond frames > limit 2
+        for f, pt in ((0, (40.0, 60.0)), (2, (42.0, 61.0)),
+                      (4, (44.0, 62.0))):
+            pred2.add_new_points_or_box(state, f, 1,
+                                        points=np.array([pt]),
+                                        labels=np.array([1]))
+        scan_used = []
+        orig = pred2._scan_eligible
+
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            scan_used.append(r)
+            return r
+
+        pred2._scan_eligible = spy
+        try:
+            outs = list(pred2.propagate_in_video(state))
+        finally:
+            pred2._scan_eligible = orig
+        if use_scan:
+            assert any(scan_used), "scan path should cover cond overflow"
+        return {f: np.asarray(m) for f, _ids, m in outs}
+
+    scan = run(True)
+    loop = run(False)
+    assert set(scan) == set(loop)
+    for f in sorted(scan):
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2, rtol=1e-3,
+                                   err_msg=f"frame {f}")
+
+
 def test_scan_covers_restart_from_middle(predictors, video_dir):
     """Re-propagation from an explicit mid-clip start must attend the
     FIRST pass's stale non-cond memories behind the start (reference

@@ -901,7 +901,8 @@ class SAM2VideoPredictor:
     # ------------------------------------------------------------------
 
     def _scan_track_impl(self, params, feats, idxs, written0, cond_mem,
-                         cond_ptrs, cond_idx, mem_ring, ptr_ring, *,
+                         cond_ptrs, cond_idx, mem_ring, ptr_ring,
+                         cond_sel=None, *,
                          reverse: bool, multimask: bool, hw,
                          max_ptrs: int):
         """Track a run of frames as ONE `lax.scan` dispatch.
@@ -928,6 +929,12 @@ class SAM2VideoPredictor:
         (sam2_base.py:564-570).
         cond_mem [B, Sc, HW, mem], cond_ptrs [B, Sc, C], cond_idx [Sc]:
         conditioning-frame memories (constant across the scan).
+        cond_sel: optional [T, L] int32 — PER-FRAME indices into the cond
+        arrays when the cond set exceeds max_cond_frames_in_attn; the
+        closest-subset selection depends only on frame indices
+        (sam2_utils.py:19-61), so the host precomputes it and the scan
+        body gathers L of the Sc cond entries per frame. None = all cond
+        frames attend every frame (the within-limit case).
         mem_ring [R, B, h, w, mem], ptr_ring [P, B, C]: carried rings
         (zeros for a fresh run; previous chunk's rings to continue).
 
@@ -935,7 +942,8 @@ class SAM2VideoPredictor:
         fp32 hole-filled, vidres [T, B, 1, *hw] fp32, obj_ptr [T, B, C],
         scores [T, B, 1] fp32, maskmem [T, B, h, w, mem] bf16)."""
         cfg = self.cfg
-        sc = cond_idx.shape[0]
+        sc = (cond_sel.shape[1] if cond_sel is not None
+              else cond_idx.shape[0])
         n_mm = cfg.num_maskmem
         stride = max(cfg.memory_temporal_stride_for_eval, 1)
         r_mem = mem_ring.shape[0]
@@ -956,6 +964,22 @@ class SAM2VideoPredictor:
             mem_ring, ptr_ring, written = carry
             f = x[0]
             feats_t = x[1]
+            if cond_sel is not None:
+                sel = x[2]
+                c_mem = jnp.take(cond_mem, sel, axis=1)
+                c_ptrs = jnp.take(cond_ptrs, sel, axis=1)
+                c_idx = jnp.take(cond_idx, sel)
+            else:
+                c_mem, c_ptrs, c_idx = cond_mem, cond_ptrs, cond_idx
+
+            def unselected_cond_at(t):
+                """Is t an UNSELECTED cond frame for this step, and where
+                in the cond arrays? The reference attends unselected cond
+                frames as if non-cond in both the memory-slot and the
+                obj-ptr lookups (sam2_base.py:564-567, 617-619)."""
+                is_cond = jnp.any(cond_idx == t)
+                unsel = is_cond & ~jnp.any(c_idx == t)
+                return unsel, is_cond, jnp.argmax(cond_idx == t)
 
             def available(prev):
                 # ring slots stay live for < ring-length frames, so any
@@ -978,11 +1002,24 @@ class SAM2VideoPredictor:
                 else:
                     prev = -(-(f + 2) // stride) * stride \
                         + (t_rel - 2) * stride
-                noncond_valid.append(in_range(prev, f))
-                noncond_feats.append(
-                    mem_ring[prev % r_mem].reshape(b, hwgrid, mem_dim))
+                ring_feat = mem_ring[prev % r_mem].reshape(b, hwgrid,
+                                                           mem_dim)
+                if cond_sel is not None:
+                    unsel, is_cond, ci = unselected_cond_at(prev)
+                    cond_feat = jax.lax.dynamic_index_in_dim(
+                        cond_mem, ci, axis=1, keepdims=False).astype(
+                        ring_feat.dtype)
+                    noncond_feats.append(
+                        jnp.where(unsel, cond_feat, ring_feat))
+                    # selected cond frames are already attended as cond
+                    # entries; their ring slot (never written) stays off
+                    noncond_valid.append(
+                        jnp.where(is_cond, unsel, in_range(prev, f)))
+                else:
+                    noncond_valid.append(in_range(prev, f))
+                    noncond_feats.append(ring_feat)
             mem_feats = jnp.concatenate(
-                [cond_mem, jnp.stack(noncond_feats, axis=1)], axis=1)
+                [c_mem, jnp.stack(noncond_feats, axis=1)], axis=1)
             slot_valid = jnp.concatenate(
                 [jnp.ones((sc,), bool), jnp.stack(noncond_valid)])
 
@@ -990,21 +1027,38 @@ class SAM2VideoPredictor:
             # (matches the per-frame path's pos_and_ptrs[:P] truncation)
             sign = -1 if reverse else 1
             if cfg.use_signed_tpos_enc_to_obj_ptrs:
-                cond_tpos = ((f - cond_idx) * sign).astype(jnp.float32)
+                cond_tpos = ((f - c_idx) * sign).astype(jnp.float32)
             else:
-                cond_tpos = jnp.abs(f - cond_idx).astype(jnp.float32)
+                cond_tpos = jnp.abs(f - c_idx).astype(jnp.float32)
+            # cond pointer validity: the reference keeps only past cond
+            # frames when only_obj_ptrs_in_the_past_for_eval (the
+            # per-frame path's ptr_cond filter above)
+            if cfg.only_obj_ptrs_in_the_past_for_eval:
+                cond_ptr_valid = (c_idx >= f) if reverse else (c_idx <= f)
+            else:
+                cond_ptr_valid = jnp.ones((sc,), bool)
             nc_ptrs, nc_tpos, nc_valid = [], [], []
             for t_diff in range(1, p_ring - sc + 1):
                 t = f + t_diff if reverse else f - t_diff
                 valid = in_range(t, f) & (t_diff < max_ptrs)
-                nc_ptrs.append(ptr_ring[t % p_ring])
+                ring_ptr = ptr_ring[t % p_ring]
+                if cond_sel is not None:
+                    unsel, is_cond, ci = unselected_cond_at(t)
+                    cond_ptr = jax.lax.dynamic_index_in_dim(
+                        cond_ptrs, ci, axis=1, keepdims=False).astype(
+                        ring_ptr.dtype)
+                    ring_ptr = jnp.where(unsel, cond_ptr, ring_ptr)
+                    in_bounds = ((t >= 0) & (t < n_frames)
+                                 & (t_diff < max_ptrs))
+                    valid = jnp.where(is_cond, unsel & in_bounds, valid)
+                nc_ptrs.append(ring_ptr)
                 nc_tpos.append(jnp.float32(t_diff))
                 nc_valid.append(valid)
             ptrs = jnp.concatenate(
-                [cond_ptrs, jnp.stack(nc_ptrs, axis=1)], axis=1)
+                [c_ptrs, jnp.stack(nc_ptrs, axis=1)], axis=1)
             ptr_tpos = jnp.concatenate([cond_tpos, jnp.stack(nc_tpos)])
             ptr_valid = jnp.concatenate(
-                [jnp.ones((sc,), bool), jnp.stack(nc_valid)])
+                [cond_ptr_valid, jnp.stack(nc_valid)])
             if not cfg.use_obj_ptrs_in_encoder:
                 ptr_valid = jnp.zeros_like(ptr_valid)
 
@@ -1026,9 +1080,10 @@ class SAM2VideoPredictor:
             return (mem_ring, ptr_ring, written), (low_res, obj_ptr, score,
                                                    maskmem)
 
+        xs = ((idxs, feats) if cond_sel is None
+              else (idxs, feats, cond_sel))
         (mem_ring, ptr_ring, written), (low, optr, score, maskmem) = \
-            jax.lax.scan(body, (mem_ring, ptr_ring, written0),
-                         (idxs, feats))
+            jax.lax.scan(body, (mem_ring, ptr_ring, written0), xs)
 
         t, _, m = low.shape[:3]
         if self.fill_hole_area > 0:
@@ -1047,10 +1102,11 @@ class SAM2VideoPredictor:
         and pre-existing non-cond memories from an earlier pass are seeded
         into the rings (reference semantics: the per-frame loop looks prev
         frames up in non_cond_frame_outputs and skips misses,
-        sam2_base.py:564-570). Remaining fallbacks: memory clearing around
-        inputs, uncached features, and cond sets larger than the
-        cross-attention limit (whose per-frame closest-subset selection
-        the fixed cond group can't express)."""
+        sam2_base.py:564-570). Cond sets larger than the cross-attention
+        limit also scan: the per-frame closest-subset selection depends
+        only on frame indices (sam2_utils.py:19-61), so it precomputes on
+        the host and feeds the scan as a [T, L] gather input. Remaining
+        fallbacks: memory clearing around inputs and uncached features."""
         if not self.use_scan_propagation or clear or not to_track:
             return False
         if len(to_track) < 2 or self.cfg.num_maskmem <= 0:
@@ -1060,7 +1116,10 @@ class SAM2VideoPredictor:
             return False
         cond = state["output_dict"]["cond_frame_outputs"]
         limit = self.cfg.max_cond_frames_in_attn
-        if limit != -1 and len(cond) > limit:
+        if limit != -1 and len(cond) > limit and limit < 2:
+            # the reference asserts max_cond_frame_num >= 2
+            # (sam2_utils.py:36); keep the per-frame path for degenerate
+            # configs rather than diverging
             return False
         # seeded entries must have this run's object-batch size (stale
         # passes from before an add/remove_object can't be reused)
@@ -1086,6 +1145,21 @@ class SAM2VideoPredictor:
         n_frames = state["num_frames"]
 
         cond_items = sorted(output_dict["cond_frame_outputs"].items())
+        # cond overflow: precompute each frame's closest-subset selection
+        # (sam2_base.py:522-527 -> sam2_utils.py:19-61) as [T, L] indices
+        # into the sorted cond arrays; the scan body gathers per frame.
+        # Order within a frame's subset is irrelevant (memory attention is
+        # permutation-invariant over key slots; each entry carries its own
+        # tpos) — keep time order for determinism.
+        limit = cfg.max_cond_frames_in_attn
+        cond_sel_np = None
+        if limit != -1 and len(cond_items) > limit:
+            pos = {t: i for i, (t, _) in enumerate(cond_items)}
+            cond_map = dict(cond_items)
+            cond_sel_np = np.asarray(
+                [sorted(pos[t] for t in self._select_closest_cond_frames(
+                    f, cond_map, limit)[0])
+                 for f in to_track], np.int32)
         cond_idx = jnp.asarray([t for t, _ in cond_items], jnp.int32)
         cond_mem = jnp.stack(
             [out["maskmem_features"] for _, out in cond_items],
@@ -1143,10 +1217,12 @@ class SAM2VideoPredictor:
                     stacked = stacked[:, None]
                 feats.append(stacked)
             idxs = jnp.asarray(chunk, jnp.int32)
+            cond_sel = (None if cond_sel_np is None
+                        else jnp.asarray(cond_sel_np[c0:c0 + len(chunk)]))
             (mem_ring, ptr_ring, written, low, vidres, optr, score,
              maskmem) = self._scan_jit(
                 self.params, tuple(feats), idxs, written, cond_mem,
-                cond_ptrs, cond_idx, mem_ring, ptr_ring,
+                cond_ptrs, cond_idx, mem_ring, ptr_ring, cond_sel,
                 reverse=reverse, multimask=multimask, hw=hw,
                 max_ptrs=min(state["num_frames"],
                              cfg.max_obj_ptrs_in_encoder))
