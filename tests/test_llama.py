@@ -552,3 +552,93 @@ def test_beam_score_at_least_greedy(params):
                                    max_new_tokens=5,
                                    eos_token_ids=(99999,), num_beams=4)
     assert seq_score(tb) >= seq_score(tg) - 1e-4
+
+
+def _hf_tiny_pair(seed=0):
+    """Tiny HF LlamaForCausalLM + the converted framework params."""
+    import torch
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    hf = LlamaForCausalLM(HFConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_layers, num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_kv_heads, head_dim=CFG.head_dim,
+        rms_norm_eps=CFG.rms_norm_eps, rope_theta=CFG.rope_theta,
+        max_position_embeddings=CFG.max_seq_len, attention_bias=False,
+        tie_word_embeddings=False)).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    return hf, convert_llama(sd, CFG)
+
+
+@pytest.mark.parametrize("num_beams,with_eos", [(3, False), (3, True),
+                                                (4, True)])
+def test_beam_matches_hf_generate(num_beams, with_eos):
+    """beam_generate mirrors transformers' vectorized _beam_search step
+    for step (generation/utils.py) — this pins it against the REAL HF
+    generate on the same tiny weights: identical winning token sequence.
+    Closes the round-3 divergence where finished beams stayed in the live
+    set instead of moving to HF's finished-hypothesis pool."""
+    import torch
+
+    hf, params = _hf_tiny_pair(seed=17)
+    ids = np.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    max_new = 10
+
+    eos_ids = ()
+    if with_eos:
+        # pick a token the unconstrained beam emits mid-sequence so the
+        # eos path (finished-pool insertion + early-stop heuristic) fires
+        with torch.no_grad():
+            free = hf.generate(torch.from_numpy(ids), max_new_tokens=max_new,
+                               num_beams=num_beams, do_sample=False,
+                               early_stopping=False, length_penalty=1.0,
+                               pad_token_id=0)
+        eos_ids = (int(free[0, ids.shape[1] + 2]),)
+
+    with torch.no_grad():
+        out = hf.generate(torch.from_numpy(ids), max_new_tokens=max_new,
+                          num_beams=num_beams, do_sample=False,
+                          early_stopping=False, length_penalty=1.0,
+                          pad_token_id=0,
+                          eos_token_id=list(eos_ids) or None)
+    want = out[0, ids.shape[1]:].numpy()
+
+    embeds = llama.embed(params, jnp.asarray(ids))
+    toks, _, n = llama.beam_generate(
+        params, CFG, embeds, prompt_len=ids.shape[1],
+        max_new_tokens=max_new, eos_token_ids=eos_ids, num_beams=num_beams)
+    got = np.asarray(toks)[0, :int(n)]
+    np.testing.assert_array_equal(got, want, err_msg=f"hf={want} got={got}")
+
+
+def test_beam_hf_parity_longer_hypothesis_displaces(monkeypatch):
+    """Regression for the specific round-3 divergence: a finished
+    hypothesis must sit in the pool while live beams keep expanding and
+    may finish LATER with a better length-penalized score. Run several
+    seeds so at least some exercise displacement."""
+    import torch
+
+    for seed in (1, 2, 5):
+        hf, params = _hf_tiny_pair(seed=seed)
+        ids = np.asarray([[7, 7, 2, 9]])
+        with torch.no_grad():
+            free = hf.generate(torch.from_numpy(ids), max_new_tokens=12,
+                               num_beams=4, do_sample=False,
+                               early_stopping=False, length_penalty=1.0,
+                               pad_token_id=0)
+        eos = int(free[0, ids.shape[1] + 1])
+        with torch.no_grad():
+            out = hf.generate(torch.from_numpy(ids), max_new_tokens=12,
+                              num_beams=4, do_sample=False,
+                              early_stopping=False, length_penalty=1.0,
+                              pad_token_id=0, eos_token_id=eos)
+        want = out[0, ids.shape[1]:].numpy()
+        embeds = llama.embed(params, jnp.asarray(ids))
+        toks, _, n = llama.beam_generate(
+            params, CFG, embeds, prompt_len=ids.shape[1],
+            max_new_tokens=12, eos_token_ids=(eos,), num_beams=4)
+        got = np.asarray(toks)[0, :int(n)]
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"seed {seed}")

@@ -707,113 +707,155 @@ def beam_generate(params, cfg: LlamaConfig, inputs_embeds, prompt_len: int,
                   num_beams: int, length_penalty: float = 1.0,
                   stop_sequences: Tuple[Tuple[int, ...], ...] = (),
                   interpret: bool = False):
-    """In-graph beam search, batch 1 (the reference CLI's num_beams knob,
-    routed there through HF generate — llava/inference/main.py:124-138).
+    """In-graph beam search, batch 1, HF-EXACT semantics (the reference
+    routes --num_beams through HF generate, llava/inference/main.py:124-138;
+    llava_llama.py:135-204). This mirrors transformers' vectorized
+    _beam_search (generation/utils.py) step for step:
 
-    Vanilla beam search with fixed beam width K: one shared prefill, the
-    cache tiled K ways, then a while_loop where every step decodes all K
-    beams batched, expands K x V candidates (finished beams frozen as a
-    single pad-continuation candidate holding their score), keeps the
-    top-K by cumulative logprob, and reorders beam state by parent. The
-    final hypothesis is chosen by length-normalized score
-    (sum_logprob / len**length_penalty, HF's default penalty 1.0).
-    Documented divergence from HF's implementation: HF keeps a separate
-    finished-hypothesis pool and expands 2K candidates; here finished
-    beams stay in the live set and in-flight comparisons use raw sums —
-    K=1 reduces exactly to greedy (tests/test_llama.py::test_beam_1).
+    - each step expands max(2, 1 + n_eos) * K candidates over the K x V
+      accumulated log-probs, so at least K non-eos continuations survive;
+    - candidates that hit a stopping criterion (eos / max-length / keyword
+      stop sequences) are offered to a FIXED K-slot finished pool at
+      length-penalized score (sum_logprobs / gen_len**penalty), gated by
+      HF's top-K rank mask; a merge-topk keeps the best K hypotheses;
+    - the live set continues with the best K non-finished candidates
+      (finished candidates demoted by the same -1e9 HF uses);
+    - the loop ends on HF's early-stop heuristic (the pool is full and the
+      best live sum-logprob at current length cannot beat the worst pooled
+      score) or when every candidate hits a stopping criterion;
+    - the returned hypothesis is pool slot 0 (merge-topk keeps the pool
+      score-sorted, HF's num_return_sequences=1 slice).
+
+    early_stopping=False and do_sample=False fixed (the reference CLI's
+    configuration). K=1 still reduces to greedy
+    (tests/test_llama.py::test_beam_1); exactness vs actual HF generate is
+    pinned by tests/test_llama.py::test_beam_matches_hf_generate.
 
     The per-step cache reorder touches ONLY the generated slots (see
     _reorder_gen_slots); the 5k-token prefix is shared bytes across beams.
 
     Returns (tokens [1, max_new_tokens], hidden [1, max_new_tokens, D] of
     the winning beam, num_generated scalar) — same contract as
-    greedy_generate at batch 1."""
+    greedy_generate at batch 1. hidden[j] is the state that produced
+    token j, so [SEG]-position extraction works unchanged."""
     b, s, d = inputs_embeds.shape
     assert b == 1, "beam search serves one prompt at a time"
     k = num_beams
+    n_eos = len(eos_token_ids)
+    kk = max(2, 1 + n_eos) * k              # HF beams_to_keep
+    top_mask = jnp.arange(kk) < k           # HF top_num_beam_mask
+    neg = jnp.float32(-1e9)                 # HF's demotion constant
     max_len = s + max_new_tokens
+    vocab = cfg.vocab_size
+
     cache = init_kv_cache(cfg, 1, max_len, dtype=inputs_embeds.dtype)
     pos = jnp.arange(s)[None]
     logits, hidden, cache = prefill(params, cfg, inputs_embeds, pos, cache,
                                     last_logit_only=True,
                                     interpret=interpret)
-    logp0 = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
-    scores, first_toks = jax.lax.top_k(logp0, k)
-    first_toks = first_toks.astype(jnp.int32)
-
+    lp0 = jax.nn.log_softmax(logits[0, -1].astype(jnp.float32))
     cache = KVCache(_tile_beams(cache.k, k), _tile_beams(cache.v, k),
                     cache.length, _tile_beams(cache.k_scale, k),
                     _tile_beams(cache.v_scale, k))
 
     eos = jnp.asarray(eos_token_ids, jnp.int32)
-    pad_id = eos[0] if eos.shape[0] else jnp.int32(0)
-    vocab = cfg.vocab_size
+    L = max_new_tokens
 
-    tokens0 = jnp.zeros((k, max_new_tokens), jnp.int32)
-    hidden0 = jnp.zeros((k, max_new_tokens + 1, d), inputs_embeds.dtype)
-    hidden0 = hidden0.at[:, 0].set(
-        jnp.broadcast_to(hidden[0, -1], (k, d)).astype(hidden0.dtype))
+    run_scores0 = jnp.full((k,), neg).at[0].set(0.0)
+    run_tokens0 = jnp.zeros((k, L), jnp.int32)
+    hiddens0 = jnp.zeros((k, L + 1, d), inputs_embeds.dtype)
+    hiddens0 = hiddens0.at[:, 0].set(
+        jnp.broadcast_to(hidden[0, -1], (k, d)).astype(hiddens0.dtype))
+    fin_scores0 = jnp.full((k,), neg)
+    fin_tokens0 = jnp.zeros((k, L), jnp.int32)
+    fin_lens0 = jnp.zeros((k,), jnp.int32)
+    is_fin0 = jnp.zeros((k,), bool)
+    fin_hidden0 = jnp.zeros_like(hiddens0)
+    lp_init = jnp.broadcast_to(lp0[None], (k, lp0.shape[0]))
 
-    def cond(state):
-        i, tok, scores, done, *_ = state
-        return jnp.logical_and(i < max_new_tokens,
-                               jnp.logical_not(jnp.all(done)))
+    def cond(st):
+        i, cont = st[0], st[11]
+        return jnp.logical_and(i < L, cont)
 
-    def body(state):
-        i, tok, scores, done, tokens, hiddens, cache = state
-        tok = jnp.where(done, pad_id, tok)
-        tokens = tokens.at[:, i].set(tok)
-        emb = embed(params, tok[:, None]).astype(inputs_embeds.dtype)
-        logits, h, cache = decode_step(params, cfg, emb, cache,
-                                       interpret=interpret)
-        hiddens = jax.lax.dynamic_update_slice(
-            hiddens, h.astype(hiddens.dtype), (0, i + 1, 0))
-        done = jnp.logical_or(done, jnp.isin(tok, eos))
+    def body(st):
+        (i, lp, run_scores, run_tokens, hiddens, fin_scores, fin_tokens,
+         fin_lens, is_fin, fin_hidden, unsat, cont, cache) = st
+
+        acc = run_scores[:, None] + lp[:, :vocab]          # [K, V]
+        t_scores, flat = jax.lax.top_k(acc.reshape(-1), kk)
+        parents = (flat // vocab).astype(jnp.int32)
+        toks = (flat % vocab).astype(jnp.int32)
+        cand_tokens = jnp.take(run_tokens, parents, axis=0)
+        cand_tokens = cand_tokens.at[:, i].set(toks)
+        cand_hidden = jnp.take(hiddens, parents, axis=0)
+
+        # stopping criteria per candidate: eos, max length, keyword stops
+        hits = jnp.isin(toks, eos) if n_eos else jnp.zeros((kk,), bool)
+        hits = jnp.logical_or(hits, i + 1 >= L)
         for seq in stop_sequences:
             ln = len(seq)
-            if ln == 0 or ln > max_new_tokens:
+            if ln == 0 or ln > L:
                 continue
             start = jnp.maximum(i - (ln - 1), 0)
-            tail = jax.lax.dynamic_slice(tokens, (0, start), (k, ln))
+            tail = jax.lax.dynamic_slice(cand_tokens, (0, start), (kk, ln))
             hit = jnp.all(tail == jnp.asarray(seq, jnp.int32), axis=1)
-            done = jnp.logical_or(done, jnp.logical_and(i + 1 >= ln, hit))
+            hits = jnp.logical_or(hits,
+                                  jnp.logical_and(i + 1 >= ln, hit))
 
-        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
-        cand = scores[:, None] + logp             # [K, V]
-        # a finished beam survives as exactly ONE candidate: emit pad,
-        # keep its score (so live beams must beat it to displace it)
-        frozen = jnp.full_like(cand, -jnp.inf).at[:, pad_id].set(scores)
-        cand = jnp.where(done[:, None], frozen, cand)
-        scores_new, flat = jax.lax.top_k(cand.reshape(-1), k)
-        parents = (flat // vocab).astype(jnp.int32)
-        nxt = (flat % vocab).astype(jnp.int32)
-
-        tokens = jnp.take(tokens, parents, axis=0)
-        hiddens = jnp.take(hiddens, parents, axis=0)
-        done = jnp.take(done, parents, axis=0)
-        cache = KVCache(
-            _reorder_gen_slots(cache.k, parents, s),
-            _reorder_gen_slots(cache.v, parents, s),
+        # live set for the next step: best K non-finished candidates
+        run_cand = t_scores + hits.astype(jnp.float32) * neg
+        new_run_scores, sel = jax.lax.top_k(run_cand, k)
+        sel_parents = jnp.take(parents, sel)
+        next_toks = jnp.take(toks, sel)
+        new_run_tokens = jnp.take(cand_tokens, sel, axis=0)
+        new_hiddens = jnp.take(cand_hidden, sel, axis=0)
+        cache_r = KVCache(
+            _reorder_gen_slots(cache.k, sel_parents, s),
+            _reorder_gen_slots(cache.v, sel_parents, s),
             cache.length,
-            _reorder_gen_slots(cache.k_scale, parents, s),
-            _reorder_gen_slots(cache.v_scale, parents, s))
-        return i + 1, nxt, scores_new, done, tokens, hiddens, cache
+            _reorder_gen_slots(cache.k_scale, sel_parents, s),
+            _reorder_gen_slots(cache.v_scale, sel_parents, s))
 
-    hidden0 = jnp.pad(hidden0, ((0, 0), (0, 1), (0, 0)))
-    state = (jnp.int32(0), first_toks, scores,
-             jnp.zeros((k,), jnp.bool_), tokens0, hidden0, cache)
-    i, tok, scores, done, tokens, hiddens, cache = jax.lax.while_loop(
-        cond, body, state)
+        # finished pool: merge-topk of (pool, length-penalized candidates)
+        lp_fin = t_scores / (i + 1.0) ** length_penalty
+        lp_fin = lp_fin + (~unsat).astype(jnp.float32) * neg
+        offered = jnp.logical_and(hits, top_mask)
+        lp_fin = lp_fin + (~offered).astype(jnp.float32) * neg
+        m_scores = jnp.concatenate([fin_scores, lp_fin])
+        new_fin_scores, mi = jax.lax.top_k(m_scores, k)
+        new_fin_tokens = jnp.take(
+            jnp.concatenate([fin_tokens, cand_tokens], axis=0), mi, axis=0)
+        new_fin_lens = jnp.take(
+            jnp.concatenate([fin_lens, jnp.full((kk,), i + 1, jnp.int32)]),
+            mi)
+        new_is_fin = jnp.take(jnp.concatenate([is_fin, offered]), mi)
+        new_fin_hidden = jnp.take(
+            jnp.concatenate([fin_hidden, cand_hidden], axis=0), mi, axis=0)
 
-    # length-normalized final selection (HF BeamHypotheses semantics):
-    # a finished beam's length runs through its first eos inclusive;
-    # an unfinished beam's length is every emitted token so far
-    is_stop = jnp.isin(tokens, eos) if eos.shape[0] else jnp.zeros(
-        tokens.shape, jnp.bool_)
-    has_stop = jnp.any(is_stop, axis=1)
-    first_stop = jnp.argmax(is_stop, axis=1)
-    lens = jnp.where(has_stop, first_stop + 1, i).astype(jnp.float32)
-    final = scores / jnp.maximum(lens, 1.0) ** length_penalty
-    best = jnp.argmax(final)
-    return (tokens[best][None], hiddens[best, :max_new_tokens][None],
-            i)
+        # decode the selected live beams for the next step's log-probs
+        emb = embed(params, next_toks[:, None]).astype(inputs_embeds.dtype)
+        logits, h, cache_r = decode_step(params, cfg, emb, cache_r,
+                                         interpret=interpret)
+        new_hiddens = jax.lax.dynamic_update_slice(
+            new_hiddens, h.astype(new_hiddens.dtype), (0, i + 1, 0))
+        new_lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32))
+
+        # HF early-stop heuristic (early_stopping=False): once the pool is
+        # full, stop when the best live sum-logprob at the current length
+        # cannot beat the worst pooled score
+        best_possible = new_run_scores[0] / (i + 1.0) ** length_penalty
+        worst = jnp.where(new_is_fin, jnp.min(new_fin_scores), neg)
+        new_unsat = jnp.logical_and(unsat, jnp.any(best_possible > worst))
+        new_cont = jnp.logical_and(new_unsat, ~jnp.all(hits))
+
+        return (i + 1, new_lp, new_run_scores, new_run_tokens, new_hiddens,
+                new_fin_scores, new_fin_tokens, new_fin_lens, new_is_fin,
+                new_fin_hidden, new_unsat, new_cont, cache_r)
+
+    st = (jnp.int32(0), lp_init, run_scores0, run_tokens0, hiddens0,
+          fin_scores0, fin_tokens0, fin_lens0, is_fin0, fin_hidden0,
+          jnp.bool_(True), jnp.bool_(True), cache)
+    st = jax.lax.while_loop(cond, body, st)
+    fin_tokens, fin_lens, fin_hidden = st[6], st[7], st[9]
+    # pool slot 0 is the best hypothesis (merge-topk keeps it sorted)
+    return (fin_tokens[0][None], fin_hidden[0, :L][None], fin_lens[0])
