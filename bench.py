@@ -200,15 +200,47 @@ def bench_sam2_image():
     iters = 5
     rows = [once(i) for i in range(1, iters + 1)]
     sets, preds = (np.asarray(r) for r in zip(*rows))
+
+    # device-compute isolation: image resident on device, N encode+decode
+    # iterations dispatched async, ONE sync — amortizes the ~35 ms tunnel
+    # RTT out of the number so the predictor has a transfer-independent
+    # throughput figure like configs 2/3 (the e2e latencies above keep
+    # their honest transfer share)
+    import jax.numpy as jnp
+
+    img_dev = jax.block_until_ready(jnp.asarray(img)[None])
+    coords, labels, m = pred._prep_prompts(None, None, box, None, True, -1)
+    cdev, ldev, mdev = (jnp.asarray(v) for v in (coords, labels, m))
+    orig_hw = tuple(pred._orig_hw[-1])
+
+    def dev_iter(salt):
+        feats = pred._encode(pred.params, img_dev + jnp.uint8(salt))
+        masks, ious, _ = pred._decode(
+            pred.params, feats["image_embed"][-1][None],
+            tuple(f[-1][None] for f in feats["high_res_feats"]),
+            cdev, ldev, mdev, multimask_output=True, has_mask=False,
+            orig_hw=orig_hw, return_logits=False)
+        return ious
+
+    jax.block_until_ready(dev_iter(0))   # compile + warmup
+    n_dev = 10
+    t0 = time.time()
+    outs = [dev_iter(i) for i in range(1, n_dev + 1)]
+    jax.block_until_ready(outs)
+    device_ms = 1e3 * (time.time() - t0) / n_dev
+
     return {
         "config": 1, "metric": "sam2_image_predict_latency",
         "set_image_ms": round(1e3 * float(np.median(sets)), 1),
         "predict_ms": round(1e3 * float(np.median(preds)), 1),
         "e2e_ms": round(1e3 * float(np.median(sets + preds)), 1),
+        "device_ms": round(device_ms, 1),
+        "device_ms_note": "amortized encode+decode, device-resident image,"
+                          " one sync per 10 iters (tunnel RTT excluded)",
         "variant": "hiera-tiny@1024",
         # transfer-dominated on this host: the 3 MB uint8 image push and
         # the result pulls ride a ~35 ms-RTT / ~15-70 MB/s tunnel
-        # (BENCH_NOTES.md); device compute is ~100-150 ms of the total.
+        # (BENCH_NOTES.md); device_ms above isolates the compute.
         # Masks cross the link bit-packed (32x smaller than fp32 logits).
         "note": "tunneled-chip latency; includes host<->device transfers",
     }

@@ -293,6 +293,12 @@ def _flat_weights_i8(p):
     return out
 
 
+#: f32-tile budget for the i8 kernel's row chunking (bytes). The quant +
+#: int8 dots run per [rows, width] chunk; sweepable (scripts/i8_vit_speed)
+#: to test the rows-per-tile hypothesis for the kernel's 30x slowdown.
+I8_ROW_BUDGET = 2 << 20
+
+
 def _vit_layer_pallas_i8(x, weights, *, num_heads: int, eps: float,
                          kv_len: int, act: str, interpret: bool):
     """Forward-only (inference) W8A8 fused layer; no custom_vjp — the
@@ -301,8 +307,8 @@ def _vit_layer_pallas_i8(x, weights, *, num_heads: int, eps: float,
     hd = d // num_heads
     dff = weights[17].shape[1]
     fb = _frames_per_step(bt, sp, d, dff, x.dtype.itemsize)
-    in_chunks = _row_chunks(sp, fb, 3 * d, ps=8)
-    mlp_chunks = _row_chunks(sp, fb, dff, ps=8)
+    in_chunks = _row_chunks(sp, fb, 3 * d, ps=8, budget=I8_ROW_BUDGET)
+    mlp_chunks = _row_chunks(sp, fb, dff, ps=8, budget=I8_ROW_BUDGET)
     kernel = functools.partial(
         _vit_kernel_i8, heads=num_heads, hd=hd, scale=1.0 / math.sqrt(hd),
         eps=eps, kv_len=kv_len, act=act, in_chunks=in_chunks,
