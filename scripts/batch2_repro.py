@@ -113,6 +113,24 @@ def main():
     print(f"[repro] encode done in {time.time() - t0:.1f}s "
           f"embeds={embeds.shape}", flush=True)
 
+    if variant == "hostcopy":
+        # round-trip the encode output through the HOST: if generate then
+        # survives, the interaction is in the device-side handoff (layout /
+        # allocator state), not the values
+        embeds = jnp.asarray(np.asarray(embeds))
+        print("[repro] embeds round-tripped through host", flush=True)
+    elif variant == "devcopy":
+        # on-device copy only (fresh buffer, default layout)
+        embeds = jax.block_until_ready(jnp.copy(embeds))
+        print("[repro] embeds copied on device", flush=True)
+    elif variant == "delexe":
+        # drop the resident encode executable before generate
+        del encode
+        import gc
+
+        gc.collect()
+        print("[repro] encode executable deleted", flush=True)
+
     t0 = time.time()
     tokens, hidden, n = generate(params["llm"], embeds)
     n = int(jax.device_get(n))

@@ -24,13 +24,21 @@ from video_llava_seg_tpu.ops import vit_block
 from video_llava_seg_tpu.ops.quantization import quantize_tree
 
 
-def time_layer(fn, params, x, iters=10):
-    out = fn(params, x, jnp.bfloat16(0.0))
-    jax.block_until_ready(out)
+# process-unique salt base (defense in depth against any result reuse)
+_NONCE = (time.time_ns() % 999983) * 1e-9
+
+
+def time_layer(fn, params, x, iters=40):
+    # float() pulls are the ONLY trustworthy barrier on this tunnel:
+    # jax.block_until_ready intermittently returns EARLY (measured 9 ms
+    # for 40 dispatches of a 23.6 ms kernel — a fake 8 PF/s; BENCH_NOTES
+    # "Tunnel barrier"). Pull the LAST output's value: the device queue
+    # is in-order, so its arrival implies every prior dispatch finished.
+    float(fn(params, x, jnp.bfloat16(_NONCE)))   # warm + real sync
     t0 = time.time()
-    outs = [fn(params, x, jnp.bfloat16(1e-3 * i))
+    outs = [fn(params, x, jnp.bfloat16(_NONCE + 1e-3 * i))
             for i in range(1, iters + 1)]
-    jax.block_until_ready(outs)
+    float(outs[-1])
     return (time.time() - t0) / iters * 1e3
 
 

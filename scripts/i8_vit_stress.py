@@ -14,9 +14,16 @@ the caller counts survivals across invocations.
 """
 
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
+
+# process-unique salt base: the axon relay caches byte-identical
+# (program, inputs) executions across processes; a cached dispatch skips
+# execution entirely and would fake a "survival" (BENCH_NOTES "Relay
+# result cache")
+_NONCE = (time.time_ns() % 999983) * 1e-9
 
 from video_llava_seg_tpu.config import VisionTowerConfig
 from video_llava_seg_tpu.models import vit
@@ -45,7 +52,7 @@ def main():
         jax.random.PRNGKey(1),
         (4, 32, cfg.image_size, cfg.image_size, 3), jnp.bfloat16)
     for i in range(n_runs):
-        s = float(encode(params, video, jnp.bfloat16(i * 1e-3)))
+        s = float(encode(params, video, jnp.bfloat16(_NONCE + i * 1e-3)))
         print(f"run {i}: ok (sum={s:.1f})", flush=True)
     print("ALL OK")
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +47,8 @@ _MASK = -1e30
 # routing comment in vit_layer(): it intermittently faults the worker at
 # the CLIP-L serving shape, so hardware defaults to the stable XLA W8A8
 # path until root-caused. Interpret-mode tests always exercise the kernel.
-FUSED_I8_ON_TPU = False
+# Env override (VLS_FUSED_I8=1) lets on-chip A/B runs flip it per process.
+FUSED_I8_ON_TPU = os.environ.get("VLS_FUSED_I8", "0") == "1"
 
 
 def _quick_gelu_f32(x):
