@@ -334,9 +334,13 @@ def bench_sam2_video(variants=("large", "tiny"), n_frames=16,
 # ---------------------------------------------------------------------------
 
 def _llm_prefill_decode_times(params, cfg, prefill_len, decode_steps,
-                              iters=4, batch=1):
+                              iters=4, batch=1, decode_only=False):
     """Measured prefill s/call and decode s/step for one param tree.
-    batch > 1 measures batched serving (per-step time covers all rows)."""
+    batch > 1 measures batched serving (per-step time covers all rows).
+    decode_only skips the prefill TIMING loop (one prefill still runs to
+    build the cache): each async prefill materializes a fresh multi-GB KV
+    cache, and at batch 8 two in flight OOM a 16 GB chip even though
+    decode itself fits."""
     import jax
     import jax.numpy as jnp
 
@@ -357,11 +361,13 @@ def _llm_prefill_decode_times(params, cfg, prefill_len, decode_steps,
 
     s, cache = run_prefill(params, emb, jnp.bfloat16(0))
     float(s)
-    t0 = time.time()
-    outs = [run_prefill(params, emb, jnp.bfloat16(_NONCE + i * 1e-3))[0]
-            for i in range(1, iters + 1)]
-    float(outs[-1])                    # value pull = reliable barrier
-    t_prefill = (time.time() - t0) / iters
+    t_prefill = None
+    if not decode_only:
+        t0 = time.time()
+        outs = [run_prefill(params, emb, jnp.bfloat16(_NONCE + i * 1e-3))[0]
+                for i in range(1, iters + 1)]
+        float(outs[-1])                # value pull = reliable barrier
+        t_prefill = (time.time() - t0) / iters
 
     @jax.jit
     def run_decode(params, cache, salt):
@@ -688,7 +694,7 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
 # ---------------------------------------------------------------------------
 
 def bench_serving(n_frames=16, decode_tokens=64, batches=(1, 2, 4, 8),
-                  decode_curve=False):
+                  decode_curve=False, serve_clips=True):
     """Config 7 (beyond BASELINE's five): batched offline serving
     throughput, clips/s/chip for the full caption+mask pipeline.
 
@@ -806,7 +812,12 @@ def bench_serving(n_frames=16, decode_tokens=64, batches=(1, 2, 4, 8),
     decode_tok_s = {int(k): v
                     for k, v in prior.get("decode_tok_s_by_batch",
                                           {}).items()}
-    for b in batches:
+    # notes travel with their numbers across partial reruns (a decode-only
+    # invocation must not drop the clips run's fence note, and vice versa)
+    for k, v in prior.items():
+        if k.endswith("_note"):
+            out[k] = v
+    for b in (batches if serve_clips else ()):
         try:
             # serve through the CLI's batch fence: batch 2 faults the TPU
             # worker (BENCH_NOTES "Batch-2 serving fault"), so the product
@@ -864,17 +875,20 @@ def bench_serving(n_frames=16, decode_tokens=64, batches=(1, 2, 4, 8),
         try:
             gc.collect()
             for b in batches:
-                if b == 2:
+                if b == 2 and serve_clips:
                     # the encode executable is resident in this process and
                     # the batch-2 full-depth program after encode faults the
                     # worker (BENCH_NOTES bisection; solo it measures
                     # 8.07 ms/step). Skip rather than kill the bench run.
+                    # (--serving_decode_only runs no encode, so there b=2
+                    # decodes fine solo.)
                     out["decode_batch2_note"] = (
                         "skipped in-process (encode-resident batch-2 fault);"
                         " solo-verified 8.07 ms/step")
                     continue
                 _, t_dec = _llm_prefill_decode_times(
-                    params["llm"], llm_cfg, 5120, 32, iters=2, batch=b)
+                    params["llm"], llm_cfg, 5120, 32, iters=2, batch=b,
+                    decode_only=True)
                 decode_tok_s[b] = round(b / t_dec, 1)
         except Exception as e:  # pragma: no cover - chip-side guard
             out["decode_scaling_error"] = f"{type(e).__name__}: {e}"[:160]
@@ -1009,6 +1023,12 @@ def main():
     ap.add_argument("--serving_decode_curve", action="store_true",
                     help="config 7: also measure decode-only tok/s at the "
                          "swept batch sizes")
+    ap.add_argument("--serving_decode_only", action="store_true",
+                    help="config 7: skip the clips sweep and measure ONLY "
+                         "the decode curve (fresh process, no encode "
+                         "resident — lets batch sizes the clips sweep "
+                         "can't co-run, like 2, or can't fit, like 8 "
+                         "after the sweep's executables, measure solo)")
     args = ap.parse_args()
     ids = ([1, 2, 3, 4, 5] if args.all
            else [int(x) for x in args.configs.split(",")])
@@ -1018,7 +1038,9 @@ def main():
         BENCHES[7] = functools.partial(
             bench_serving,
             batches=tuple(int(x) for x in args.serving_batches.split(",")),
-            decode_curve=args.serving_decode_curve)
+            decode_curve=(args.serving_decode_curve
+                          or args.serving_decode_only),
+            serve_clips=not args.serving_decode_only)
 
     def merge_detail(results):
         # merge into the existing detail file: a partial run (--configs 1,2)

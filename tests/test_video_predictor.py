@@ -315,6 +315,124 @@ def test_scan_covers_cond_overflow(predictors, video_dir):
                                    err_msg=f"frame {f}")
 
 
+def test_scan_covers_memory_clearing(predictors, video_dir):
+    """clear_non_cond_mem_around_input: each cond frame the loop crosses
+    pops a window of non-cond memories AT CROSSING TIME (reference
+    :708-712, :1155+) — entries stored before the crossing vanish, frames
+    tracked after it keep theirs. The scan path must reproduce both the
+    masks and the final session-dict state, not fall back to per-frame
+    dispatch."""
+    import dataclasses
+
+    _, mine = predictors
+    # small window (stride*num_maskmem = 2) so the mid-clip crossing
+    # clears a PARTIAL window — the all-cleared case would not catch an
+    # over-eager mask
+    cfg2 = dataclasses.replace(TINY, num_maskmem=2)
+    pred2 = SAM2VideoPredictor(mine.params, cfg2)
+    pred2.clear_non_cond_mem_around_input = True
+    # corrections must become COND frames: with is_cond=False the
+    # reference's own preflight pops the correction's just-consolidated
+    # non-cond output (sam2_video_predictor.py:623-632 + :1155+) and its
+    # propagation loop then KeyErrors — the demo pairs clearing with
+    # add_all_frames_to_correct_as_cond, and so does this test
+    pred2.add_all_frames_to_correct_as_cond = True
+
+    def run(use_scan):
+        pred2.use_scan_propagation = use_scan
+        state = pred2.init_state(video_dir)
+        pred2.add_new_points_or_box(state, 0, 1,
+                                    points=np.array([[40.0, 60.0]]),
+                                    labels=np.array([1]))
+        list(pred2.propagate_in_video(state))          # first pass
+        # correction mid-clip: add-time clearing pops around frame 3,
+        # and the re-propagation CROSSES cond 3 between frames 2 and 4
+        pred2.add_new_points_or_box(state, 3, 1,
+                                    points=np.array([[44.0, 62.0]]),
+                                    labels=np.array([1]))
+        scan_used = []
+        orig = pred2._scan_eligible
+
+        def spy(*a, **k):
+            r = orig(*a, **k)
+            scan_used.append(r)
+            return r
+
+        pred2._scan_eligible = spy
+        try:
+            outs = {f: np.asarray(m) for f, _ids, m in
+                    pred2.propagate_in_video(state)}
+            # reverse leg: crossings happen on descending frame order
+            outs_r = {f: np.asarray(m) for f, _ids, m in
+                      pred2.propagate_in_video(state, start_frame_idx=3,
+                                               reverse=True)}
+        finally:
+            pred2._scan_eligible = orig
+        if use_scan:
+            assert any(scan_used), "scan path should cover memory clearing"
+        dict_keys = sorted(state["output_dict"]["non_cond_frame_outputs"])
+        obj_keys = sorted(
+            state["output_dict_per_obj"][0]["non_cond_frame_outputs"])
+        outs.update({f"r{f}": m for f, m in outs_r.items()})
+        return outs, dict_keys, obj_keys
+
+    scan, scan_keys, scan_obj = run(True)
+    loop, loop_keys, loop_obj = run(False)
+    # the crossing at frame 3 must actually have cleared something
+    assert loop_keys != sorted(set(range(NUM_FRAMES)) - {0, 3})
+    assert scan_keys == loop_keys
+    assert scan_obj == loop_obj
+    assert set(scan) == set(loop)
+    for f in sorted(scan, key=str):
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2, rtol=1e-3,
+                                   err_msg=f"frame {f}")
+
+
+def test_scan_covers_uncached_features(predictors, video_dir):
+    """precompute_chunk=0 (the bounded-memory mode for long videos) must
+    still scan: missing features are batch-encoded per chunk WITHOUT
+    being retained, so host memory stays bounded while propagation keeps
+    its one-dispatch-per-chunk shape."""
+    _, mine = predictors
+
+    def run(use_scan):
+        prev = mine.use_scan_propagation
+        mine.use_scan_propagation = use_scan
+        try:
+            state = mine.init_state(video_dir)
+            mine.add_new_points_or_box(state, 0, 1,
+                                       points=np.array([[40.0, 60.0]]),
+                                       labels=np.array([1]))
+            scan_used = []
+            orig = mine._scan_eligible
+
+            def spy(*a, **k):
+                r = orig(*a, **k)
+                scan_used.append(r)
+                return r
+
+            mine._scan_eligible = spy
+            try:
+                outs = {f: np.asarray(m) for f, _ids, m in
+                        mine.propagate_in_video(state, precompute_chunk=0)}
+            finally:
+                mine._scan_eligible = orig
+        finally:
+            mine.use_scan_propagation = prev
+        if use_scan:
+            assert any(scan_used), "scan should cover uncached features"
+            # ephemeral encode must NOT have filled the cache
+            assert len(state["cached_features"]) <= 1
+        return outs
+
+    scan = run(True)
+    loop = run(False)
+    assert set(scan) == set(loop) == set(range(NUM_FRAMES))
+    for f in sorted(scan):
+        np.testing.assert_allclose(scan[f], loop[f], atol=2e-2, rtol=1e-3,
+                                   err_msg=f"frame {f}")
+
+
 def test_scan_covers_restart_from_middle(predictors, video_dir):
     """Re-propagation from an explicit mid-clip start must attend the
     FIRST pass's stale non-cond memories behind the start (reference

@@ -92,9 +92,10 @@ class SAM2VideoPredictor:
         self._fill_holes_jit = jax.jit(self._fill_holes_impl)
         self._vidres_jit = jax.jit(self._vidres_impl,
                                    static_argnames=("hw",))
-        # whole-clip lax.scan tracking (one dispatch per clip chunk); falls
-        # back to the per-frame path for interactive histories it can't
-        # express (see _scan_eligible)
+        # whole-clip lax.scan tracking (one dispatch per clip chunk);
+        # covers fresh, interactive, cond-overflow, memory-clearing, and
+        # uncached-feature histories — per-frame dispatch remains only for
+        # degenerate configs (see _scan_eligible)
         self.use_scan_propagation = True
         self.scan_chunk = 32
         self._scan_jit = jax.jit(
@@ -902,7 +903,7 @@ class SAM2VideoPredictor:
 
     def _scan_track_impl(self, params, feats, idxs, written0, cond_mem,
                          cond_ptrs, cond_idx, mem_ring, ptr_ring,
-                         cond_sel=None, *,
+                         cond_sel=None, clear_mask=None, *,
                          reverse: bool, multimask: bool, hw,
                          max_ptrs: int):
         """Track a run of frames as ONE `lax.scan` dispatch.
@@ -937,6 +938,14 @@ class SAM2VideoPredictor:
         frames attend every frame (the within-limit case).
         mem_ring [R, B, h, w, mem], ptr_ring [P, B, C]: carried rings
         (zeros for a fresh run; previous chunk's rings to continue).
+        clear_mask: optional [T, num_frames] bool — per-step frames whose
+        non-cond memory the reference would have POPPED by the time this
+        step's lookups run (clear_non_cond_mem_around_input pops a window
+        around each cond frame the loop crosses, sam2_video_predictor.py
+        :708-712, :1155+). Applied as `written &= ~mask` BEFORE the
+        lookups, exactly where the per-frame path's dict pop lands; cond
+        entries ride separate arrays and are never cleared, matching the
+        reference (only non_cond_frame_outputs is popped).
 
         Returns (mem_ring, ptr_ring, written, low_res [T, B, 1, H4, W4]
         fp32 hole-filled, vidres [T, B, 1, *hw] fp32, obj_ptr [T, B, C],
@@ -962,10 +971,14 @@ class SAM2VideoPredictor:
 
         def body(carry, x):
             mem_ring, ptr_ring, written = carry
-            f = x[0]
-            feats_t = x[1]
+            f = x["f"]
+            feats_t = x["feats"]
+            if clear_mask is not None:
+                # memory clearing: drop availability of every frame the
+                # reference would have popped before this step's lookups
+                written = written & ~x["clr"]
             if cond_sel is not None:
-                sel = x[2]
+                sel = x["sel"]
                 c_mem = jnp.take(cond_mem, sel, axis=1)
                 c_ptrs = jnp.take(cond_ptrs, sel, axis=1)
                 c_idx = jnp.take(cond_idx, sel)
@@ -1080,8 +1093,11 @@ class SAM2VideoPredictor:
             return (mem_ring, ptr_ring, written), (low_res, obj_ptr, score,
                                                    maskmem)
 
-        xs = ((idxs, feats) if cond_sel is None
-              else (idxs, feats, cond_sel))
+        xs = {"f": idxs, "feats": feats}
+        if cond_sel is not None:
+            xs["sel"] = cond_sel
+        if clear_mask is not None:
+            xs["clr"] = clear_mask
         (mem_ring, ptr_ring, written), (low, optr, score, maskmem) = \
             jax.lax.scan(body, (mem_ring, ptr_ring, written0), xs)
 
@@ -1095,8 +1111,8 @@ class SAM2VideoPredictor:
         return (mem_ring, ptr_ring, written, low, vidres, optr, score,
                 maskmem)
 
-    def _scan_eligible(self, state, processing_order, to_track, reverse,
-                       clear) -> bool:
+    def _scan_eligible(self, state, processing_order, to_track,
+                       reverse) -> bool:
         """The scan path covers both fresh and INTERACTIVE propagation
         histories: to_track may skip consolidated (cond) frames mid-run,
         and pre-existing non-cond memories from an earlier pass are seeded
@@ -1105,14 +1121,16 @@ class SAM2VideoPredictor:
         sam2_base.py:564-570). Cond sets larger than the cross-attention
         limit also scan: the per-frame closest-subset selection depends
         only on frame indices (sam2_utils.py:19-61), so it precomputes on
-        the host and feeds the scan as a [T, L] gather input. Remaining
-        fallbacks: memory clearing around inputs and uncached features."""
-        if not self.use_scan_propagation or clear or not to_track:
+        the host and feeds the scan as a [T, L] gather input. Memory
+        clearing around inputs scans too (per-step `written` masks — the
+        pop schedule depends only on frame indices), and uncached features
+        are batch-encoded per chunk without retention, preserving
+        precompute_chunk=0's bounded-memory intent. Remaining fallbacks
+        are degenerate configs only (single frame, num_maskmem<=0,
+        max_cond_frames_in_attn<2, stale object-batch seeds)."""
+        if not self.use_scan_propagation or not to_track:
             return False
         if len(to_track) < 2 or self.cfg.num_maskmem <= 0:
-            return False
-        # scan stacks precomputed features; without the cache, fall back
-        if any(f not in state["cached_features"] for f in to_track):
             return False
         cond = state["output_dict"]["cond_frame_outputs"]
         limit = self.cfg.max_cond_frames_in_attn
@@ -1129,11 +1147,22 @@ class SAM2VideoPredictor:
                 return False
         return True
 
-    def _propagate_scan(self, state, to_track, reverse):
+    def _propagate_scan(self, state, to_track, reverse, crossed_cond=()):
         """Run the scan path over `to_track` (monotone frame indices, gaps
         at consolidated frames allowed), store per-frame outputs in the
         session dicts, and return the per-frame video-res masks
-        (device-resident), aligned with to_track."""
+        (device-resident), aligned with to_track.
+
+        crossed_cond: cond frames the per-frame loop would cross during
+        this pass, in processing order — non-empty only when
+        clear_non_cond_mem_around_input is active. Each crossing pops
+        non-cond memories within ±stride*num_maskmem of the cond frame at
+        crossing TIME (reference :708-712): entries existing then are
+        gone for later lookups and from the session dicts; frames tracked
+        after the crossing keep theirs. The scan reproduces the schedule
+        with per-step `written` masks; the dicts get the same final state
+        via (a) popping pre-existing entries in any crossed window and
+        (b) not storing scan outputs for frames a LATER crossing clears."""
         cfg = self.cfg
         output_dict = state["output_dict"]
         batch_size = self._get_obj_num(state)
@@ -1143,6 +1172,29 @@ class SAM2VideoPredictor:
         r_mem = max(cfg.num_maskmem, (cfg.num_maskmem - 2) * stride + 2)
         p_ring = cfg.max_obj_ptrs_in_encoder
         n_frames = state["num_frames"]
+
+        # memory clearing: per-step masks of frames whose non-cond memory
+        # the reference has popped by this step's lookups. to_track and
+        # crossed_cond are both monotone in processing order, so a
+        # two-pointer walk assigns each crossing to the first tracked
+        # frame AFTER it; windows accumulate (pops are permanent).
+        w_clear = cfg.memory_temporal_stride_for_eval * cfg.num_maskmem
+        clear_masks_np = None
+        if crossed_cond:
+            # masks are INCREMENTAL (only windows newly crossed before
+            # this step): a frame tracked AFTER a crossing writes its ring
+            # entry afterwards and must keep it, exactly as the per-frame
+            # path's pop-then-track ordering does
+            clear_masks_np = np.zeros((len(to_track), n_frames), bool)
+            ci = 0
+            for i, f in enumerate(to_track):
+                while ci < len(crossed_cond) and (
+                        (crossed_cond[ci] > f) if reverse
+                        else (crossed_cond[ci] < f)):
+                    c = crossed_cond[ci]
+                    clear_masks_np[i, max(0, c - w_clear):
+                                   min(n_frames, c + w_clear + 1)] = True
+                    ci += 1
 
         cond_items = sorted(output_dict["cond_frame_outputs"].items())
         # cond overflow: precompute each frame's closest-subset selection
@@ -1202,13 +1254,35 @@ class SAM2VideoPredictor:
         written = jnp.asarray(written)
 
         multimask = self._use_multimask(False, None)
+        cache = state["cached_features"]
         all_out = []
         for c0 in range(0, len(to_track), self.scan_chunk):
             chunk = to_track[c0:c0 + self.scan_chunk]
+            # features missing from the cache (precompute_chunk=0, the
+            # bounded-memory mode for very long videos) are batch-encoded
+            # here and NOT retained: the scan still runs, and host memory
+            # stays bounded to one scan chunk — the per-frame path would
+            # encode the same frames one at a time (reference :879-910)
+            missing = [f for f in chunk if f not in cache]
+            ephemeral = {}
+            for s2 in range(0, len(missing), 8):
+                grp = missing[s2:s2 + 8]
+                take = grp + [grp[-1]] * (8 - len(grp))  # static batch
+                imgs = state["images"]
+                if isinstance(imgs, jnp.ndarray):
+                    batch_img = imgs[jnp.asarray(take)]
+                else:
+                    batch_img = jnp.asarray(
+                        np.stack([np.asarray(imgs[i]) for i in take]),
+                        self.compute_dtype)
+                enc = self._encode_jit(self.params, batch_img)
+                for j, fi in enumerate(grp):
+                    ephemeral[fi] = tuple(f[j:j + 1] for f in enc)
             feats = []
             for lvl in range(3):
                 stacked = jnp.concatenate(
-                    [state["cached_features"][f][lvl] for f in chunk], axis=0)
+                    [(cache[f] if f in cache else ephemeral[f])[lvl]
+                     for f in chunk], axis=0)
                 if batch_size > 1:
                     stacked = jnp.broadcast_to(
                         stacked[:, None],
@@ -1219,18 +1293,53 @@ class SAM2VideoPredictor:
             idxs = jnp.asarray(chunk, jnp.int32)
             cond_sel = (None if cond_sel_np is None
                         else jnp.asarray(cond_sel_np[c0:c0 + len(chunk)]))
+            clr = (None if clear_masks_np is None
+                   else jnp.asarray(clear_masks_np[c0:c0 + len(chunk)]))
             (mem_ring, ptr_ring, written, low, vidres, optr, score,
              maskmem) = self._scan_jit(
                 self.params, tuple(feats), idxs, written, cond_mem,
-                cond_ptrs, cond_idx, mem_ring, ptr_ring, cond_sel,
+                cond_ptrs, cond_idx, mem_ring, ptr_ring, cond_sel, clr,
                 reverse=reverse, multimask=multimask, hw=hw,
                 max_ptrs=min(state["num_frames"],
                              cfg.max_obj_ptrs_in_encoder))
             all_out.append((chunk, low, vidres, optr, score, maskmem))
 
+        # dict fix-up for memory clearing: reproduce the per-frame path's
+        # final dict state. (a) pre-existing non-cond entries inside ANY
+        # crossed window are popped (they existed at crossing time and are
+        # never re-created — unless re-tracked this pass, handled in (b));
+        # (b) a frame tracked this pass keeps its output only if no LATER
+        # crossing's window covers it.
+        tracked = set(to_track)
+        if crossed_cond:
+            for t in list(noncond):
+                if t in tracked:
+                    continue
+                if any(abs(t - c) <= w_clear for c in crossed_cond):
+                    noncond.pop(t, None)
+                    for obj_out in state["output_dict_per_obj"].values():
+                        obj_out["non_cond_frame_outputs"].pop(t, None)
+
+        def _cleared_later(f):
+            # crossings after f's step: forward order crosses c when the
+            # loop passes it, so c > f clears f's just-stored output;
+            # reverse symmetric
+            return any((f - w_clear <= c < f) if reverse
+                       else (f < c <= f + w_clear) for c in crossed_cond)
+
         stacked_vidres = []
         for chunk, low, vidres, optr, score, maskmem in all_out:
             for i, f in enumerate(chunk):
+                state["frames_already_tracked"][f] = {"reverse": reverse}
+                stacked_vidres.append(vidres[i])
+                if crossed_cond and _cleared_later(f):
+                    # the per-frame path stored this output and then
+                    # popped it at the later crossing; a stale entry from
+                    # a previous pass goes the same way
+                    noncond.pop(f, None)
+                    for obj_out in state["output_dict_per_obj"].values():
+                        obj_out["non_cond_frame_outputs"].pop(f, None)
+                    continue
                 current_out = {
                     "maskmem_features": maskmem[i],
                     "maskmem_pos_enc": None,
@@ -1238,11 +1347,9 @@ class SAM2VideoPredictor:
                     "obj_ptr": optr[i],
                     "object_score_logits": score[i],
                 }
-                output_dict["non_cond_frame_outputs"][f] = current_out
+                noncond[f] = current_out
                 self._add_output_per_object(state, f, current_out,
                                             "non_cond_frame_outputs")
-                state["frames_already_tracked"][f] = {"reverse": reverse}
-                stacked_vidres.append(vidres[i])
         return stacked_vidres
 
     def propagate_in_video(self, state, start_frame_idx=None,
@@ -1288,11 +1395,19 @@ class SAM2VideoPredictor:
             f for f in processing_order
             if f not in consolidated_inds["cond_frame_outputs"]
             and f not in consolidated_inds["non_cond_frame_outputs"]]
-        if self._scan_eligible(state, processing_order, to_track, reverse,
-                               clear):
+        if self._scan_eligible(state, processing_order, to_track, reverse):
             # whole-clip scan: one dispatch per chunk tracks to_track;
-            # consolidated (stored) frames interleave in processing order
-            vidres_frames = self._propagate_scan(state, to_track, reverse)
+            # consolidated (stored) frames interleave in processing order.
+            # With memory clearing on, every cond frame the loop crosses
+            # pops a window of non-cond memories at crossing time (:1319
+            # below) — the scan reproduces the pop schedule via per-step
+            # written-masks and a post-hoc dict fix-up.
+            crossed_cond = (
+                [f for f in processing_order
+                 if f in consolidated_inds["cond_frame_outputs"]]
+                if clear else [])
+            vidres_frames = self._propagate_scan(state, to_track, reverse,
+                                                 crossed_cond)
             scan_masks = dict(zip(to_track, vidres_frames))
             for frame_idx in processing_order:
                 if frame_idx in scan_masks:
