@@ -167,7 +167,13 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
         qkv = jax.lax.dot_general(
             xn.reshape(rows_i * W, cin), wqkv[...].astype(xn.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        qkv = (qkv + bqkv[0].astype(jnp.float32)).astype(xn.dtype)
+        qkv = qkv + bqkv[0].astype(jnp.float32)
+        # the 1/sqrt(hd) attention scale folds into the q third here, in
+        # f32 (softmax((q*scale)@k.T) == softmax(scale*(q@k.T)); max-pool
+        # q-pooling commutes with a positive scale), so the SDPA loops
+        # below never run a scale pass over the wide score tiles
+        qcols = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * c), 1) < c
+        qkv = (qkv * jnp.where(qcols, scale, 1.0)).astype(xn.dtype)
         qkv_buf[sl] = qkv.reshape(rows_i, W, 3 * c)
         sc = None
         if has_skip:
@@ -217,13 +223,16 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
                             h * hd:(h + 1) * hd].reshape(rows_q * W, hd)
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)
+                # q arrives pre-scaled from the front end; normalization
+                # defers past the ctx dot: two fewer VPU passes over the
+                # wide score tile
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                l = jnp.sum(p, axis=-1, keepdims=True)
                 ctx = jax.lax.dot_general(
                     p.astype(x_ref.dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32) / l
                 sl = pl.ds(ci * rows_q * W, rows_q * W)
                 attn_ref[sl] = attn_ref[sl] + jax.lax.dot_general(
                     ctx.astype(x_ref.dtype), wp_h,
@@ -267,15 +276,16 @@ def _block_kernel(x_ref, ln1s, ln1b, wqkv, bqkv, wproj, bproj,
                        ss)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         if key_gap is not None:
             s = jnp.where(key_gap, -1e30, s)
+        # q pre-scaled + deferred normalization (see _one_head_global)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        l = jnp.sum(p, axis=-1, keepdims=True)
         ctx = jax.lax.dot_general(
             p.astype(x_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32) / l
         ctx = ctx.reshape(r, n_w, q_ss, q_ss, hd)
         ctx = ctx.transpose(0, 2, 1, 3, 4).reshape(Rp * Wp, hd)
         attn_ref[...] = attn_ref[...] + jax.lax.dot_general(

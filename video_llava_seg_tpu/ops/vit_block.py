@@ -38,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 from video_llava_seg_tpu.ops.hiera_block import (
     _gelu_f32,
     _ln_f32,
-    _row_chunks,
 )
 
 _MASK = -1e30
@@ -62,33 +61,48 @@ _ACTS = {"quick_gelu": _quick_gelu_f32, "gelu": _gelu_f32}
 def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
                 ln2s, ln2b, w1, b1, w2, b2, o_ref, qkv_buf,
                 h1_ref, *, heads: int, hd: int, scale: float, eps: float,
-                kv_len: int, act: str, in_chunks: int, mlp_chunks: int):
+                kv_len: int, act: str, in_tile, mlp_tile):
     """One tile of `fb` frames x `sp` (8-aligned) tokens x D channels.
 
-    Chunking runs along the TOKEN axis (multiples of 8) so every
-    flattened (frames*tokens, D) view collapses cleanly onto the (8,128)
-    vector tiles. fori_loop chunks: one iteration's fp32 transients on
-    the Mosaic stack, reused."""
+    Chunking runs along the TOKEN axis in (t, n_main, tail) tiles —
+    multiples of 8 so every flattened (frames*tokens, D) view collapses
+    cleanly onto the (8,128) vector tiles, main chunks via fori_loop
+    (one iteration's fp32 transients on the Mosaic stack, reused) plus
+    one static tail chunk. Tile sizes target a few-MiB f32 transient so
+    each dense runs hundreds of MXU rows: the old equal-division
+    chunking could only pick 73 chunks at sp=584 (the sole divisor
+    respecting 8-alignment), i.e. 32-row dots that starved the MXU."""
     fb, sp, d = x_ref.shape
     c = heads * hd
-    t_i = sp // in_chunks
+    t_i, n_i, tail_i = in_tile
     act_f = _ACTS[act]
 
-    # front end: LN1 -> q/k/v denses into the qkv scratch [fb, sp, 3c]
-    def _front(ci, carry):
-        sl = pl.ds(ci * t_i, t_i)
+    # front end: LN1 -> q/k/v denses into the qkv scratch [fb, sp, 3c].
+    # The 1/sqrt(hd) attention scale folds into q HERE, in f32 before the
+    # cast — softmax((q*scale)@k.T) == softmax(scale * (q@k.T)) — so the
+    # SDPA loop below never runs a scale pass over the [*, sp, sp] scores
+    def _front_at(off, size):
+        sl = pl.ds(off, size)
         xf = x_ref[:, sl].astype(jnp.float32)
         xn = _ln_f32(xf, ln1s[0], ln1b[0], eps).astype(x_ref.dtype)
-        xn = xn.reshape(fb * t_i, d)
+        xn = xn.reshape(fb * size, d)
         for j, (w, bias) in enumerate(((wq, bq), (wk, bk), (wv, bv))):
             y = jax.lax.dot_general(
                 xn, w[...].astype(xn.dtype), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            y = (y + bias[0].astype(jnp.float32)).astype(x_ref.dtype)
-            qkv_buf[:, sl, pl.ds(j * c, c)] = y.reshape(fb, t_i, c)
+            y = y + bias[0].astype(jnp.float32)
+            if j == 0:
+                y = y * scale
+            qkv_buf[:, sl, pl.ds(j * c, c)] = y.astype(
+                x_ref.dtype).reshape(fb, size, c)
+
+    def _front(ci, carry):
+        _front_at(ci * t_i, t_i)
         return carry
 
-    jax.lax.fori_loop(0, in_chunks, _front, 0)
+    jax.lax.fori_loop(0, n_i, _front, 0)
+    if tail_i:
+        _front_at(n_i * t_i, tail_i)
 
     # key-padding mask: tokens at index >= kv_len are caller padding
     key_pad = None
@@ -99,58 +113,85 @@ def _vit_kernel(x_ref, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
     # per-head, frame-batched SDPA. Each head's ctx parks in its (dead
     # from here) q slot of the qkv scratch, so the out projection runs as
     # ONE [rows, c] @ [c, d] dot — full 128-deep MXU reduction instead of
-    # `heads` separate hd-deep dots
+    # `heads` separate hd-deep dots.
+    # Softmax is VPU-bound at these shapes (BENCH_NOTES "ViT encode
+    # decomposition"), so the big [*, sp, sp] score matrix gets the
+    # minimum number of elementwise passes: q arrives pre-scaled from the
+    # front end and normalization is deferred past the ctx dot — one
+    # divide over [*, sp, hd] instead of [*, sp, sp]. Deferral keeps the
+    # unnormalized p tile live through the ctx dot, so the frame axis is
+    # sub-chunked (att_fb) to hold peak f32 scores-liveness at the level
+    # the pre-deferral kernel already fit.
+    att_fb = fb if fb <= 2 else 2
+    if fb % att_fb:
+        att_fb = 1
     for h in range(heads):
-        q = qkv_buf[:, :, h * hd:(h + 1) * hd]
-        k = qkv_buf[:, :, c + h * hd:c + (h + 1) * hd]
-        v = qkv_buf[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if key_pad is not None:
-            s = jnp.where(key_pad, _MASK, s)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ctx = jax.lax.dot_general(
-            p.astype(x_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        qkv_buf[:, :, h * hd:(h + 1) * hd] = ctx.astype(x_ref.dtype)
+
+        def _attn(fi, carry, h=h):
+            fs = pl.ds(fi * att_fb, att_fb)
+            q = qkv_buf[fs, :, h * hd:(h + 1) * hd]
+            k = qkv_buf[fs, :, c + h * hd:c + (h + 1) * hd]
+            v = qkv_buf[fs, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if key_pad is not None:
+                s = jnp.where(key_pad, _MASK, s)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(
+                p.astype(x_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) / l
+            qkv_buf[fs, :, h * hd:(h + 1) * hd] = ctx.astype(x_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, fb // att_fb, _attn, 0)
 
     # back end: out projection, then LN2 -> activation MLP -> residual;
     # both token-chunked so the f32 transients reuse one chunk's stack
-    t_m = sp // mlp_chunks
+    t_m, n_m, tail_m = mlp_tile
 
-    def _proj(ci, carry):
-        sl = pl.ds(ci * t_m, t_m)
-        rows = qkv_buf[:, sl, :c].reshape(fb * t_m, c)
+    def _proj_at(off, size):
+        sl = pl.ds(off, size)
+        rows = qkv_buf[:, sl, :c].reshape(fb * size, c)
         pr = jax.lax.dot_general(
             rows, wo[...].astype(x_ref.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        h1_ref[:, sl] = x_ref[:, sl] + (pr.reshape(fb, t_m, c)
+        h1_ref[:, sl] = x_ref[:, sl] + (pr.reshape(fb, size, c)
                                         + bo[0].astype(jnp.float32)).astype(
             x_ref.dtype)
+
+    def _proj(ci, carry):
+        _proj_at(ci * t_m, t_m)
         return carry
 
-    jax.lax.fori_loop(0, mlp_chunks, _proj, 0)
+    jax.lax.fori_loop(0, n_m, _proj, 0)
+    if tail_m:
+        _proj_at(n_m * t_m, tail_m)
 
-    def _back(ci, carry):
-        sl = pl.ds(ci * t_m, t_m)
+    def _back_at(off, size):
+        sl = pl.ds(off, size)
         seg = h1_ref[:, sl]
         hn = _ln_f32(seg.astype(jnp.float32), ln2s[0], ln2b[0],
                      eps).astype(x_ref.dtype)
         hh = jax.lax.dot_general(
-            hn.reshape(fb * t_m, d), w1[...].astype(x_ref.dtype),
+            hn.reshape(fb * size, d), w1[...].astype(x_ref.dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         hh = act_f(hh + b1[0].astype(jnp.float32)).astype(x_ref.dtype)
         mlp = jax.lax.dot_general(
             hh, w2[...].astype(x_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         mlp = (mlp + b2[0].astype(jnp.float32)).astype(x_ref.dtype)
-        o_ref[:, sl] = seg + mlp.reshape(fb, t_m, d)
+        o_ref[:, sl] = seg + mlp.reshape(fb, size, d)
+
+    def _back(ci, carry):
+        _back_at(ci * t_m, t_m)
         return carry
 
-    jax.lax.fori_loop(0, mlp_chunks, _back, 0)
+    jax.lax.fori_loop(0, n_m, _back, 0)
+    if tail_m:
+        _back_at(n_m * t_m, tail_m)
 
 
 def _quant_rows_f32(xf):
@@ -176,7 +217,7 @@ def _vit_kernel_i8(x_ref, ln1s, ln1b, wq, wqs, bq, wk, wks, bk, wv, wvs, bv,
                    wo, wos, bo, ln2s, ln2b, w1, w1s, b1, w2, w2s, b2,
                    o_ref, qkv_buf, h1_ref, *, heads: int, hd: int,
                    scale: float, eps: float, kv_len: int, act: str,
-                   in_chunks: int, mlp_chunks: int):
+                   in_tile, mlp_tile):
     """W8A8 variant of _vit_kernel: every dense runs as an int8 MXU dot
     with in-kernel dynamic per-row activation quant (the quant/rescale
     elementwise passes that made standalone W8A8 a wash at ViT dims now
@@ -190,75 +231,105 @@ def _vit_kernel_i8(x_ref, ln1s, ln1b, wq, wqs, bq, wk, wks, bk, wv, wvs, bv,
     with the oracle's full-row activation scale."""
     fb, sp, d = x_ref.shape
     c = heads * hd
-    t_i = sp // in_chunks
+    t_i, n_i, tail_i = in_tile
     dtype = x_ref.dtype
     act_f = _ACTS[act]
 
-    def _front(ci, carry):
-        sl = pl.ds(ci * t_i, t_i)
+    def _front_at(off, size):
+        sl = pl.ds(off, size)
         xf = x_ref[:, sl].astype(jnp.float32)
         xn = _ln_f32(xf, ln1s[0], ln1b[0], eps).astype(dtype)
         xq, a_s = _quant_rows_f32(
-            xn.reshape(fb * t_i, d).astype(jnp.float32))
+            xn.reshape(fb * size, d).astype(jnp.float32))
         for j, (w, ws, b) in enumerate(((wq, wqs, bq), (wk, wks, bk),
                                         (wv, wvs, bv))):
             y = _dense_i8(xq, a_s, w, ws, b, dtype)
-            qkv_buf[:, sl, pl.ds(j * c, c)] = y.reshape(fb, t_i, c)
+            if j == 0:
+                # attention scale folded into q (see _vit_kernel _front)
+                y = y * dtype.type(scale)
+            qkv_buf[:, sl, pl.ds(j * c, c)] = y.reshape(fb, size, c)
+
+    def _front(ci, carry):
+        _front_at(ci * t_i, t_i)
         return carry
 
-    jax.lax.fori_loop(0, in_chunks, _front, 0)
+    jax.lax.fori_loop(0, n_i, _front, 0)
+    if tail_i:
+        _front_at(n_i * t_i, tail_i)
 
     key_pad = None
     if kv_len < sp:
         kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sp), 2)
         key_pad = kk >= kv_len
 
+    # q pre-scaled at the front + deferred normalization: two fewer VPU
+    # passes over the [*, sp, sp] scores; frame-axis sub-chunking bounds
+    # the deferred p tile's liveness (see _vit_kernel)
+    att_fb = fb if fb <= 2 else 2
+    if fb % att_fb:
+        att_fb = 1
     for h in range(heads):
-        q = qkv_buf[:, :, h * hd:(h + 1) * hd]
-        k = qkv_buf[:, :, c + h * hd:c + (h + 1) * hd]
-        v = qkv_buf[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
-        if key_pad is not None:
-            s = jnp.where(key_pad, _MASK, s)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ctx = jax.lax.dot_general(
-            p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        # head h's q slot is dead from here on: park ctx_h in it so the
-        # out projection below sees the full [rows, c] ctx row-contiguous
-        qkv_buf[:, :, h * hd:(h + 1) * hd] = ctx.astype(dtype)
 
-    t_m = sp // mlp_chunks
+        def _attn(fi, carry, h=h):
+            fs = pl.ds(fi * att_fb, att_fb)
+            q = qkv_buf[fs, :, h * hd:(h + 1) * hd]
+            k = qkv_buf[fs, :, c + h * hd:c + (h + 1) * hd]
+            v = qkv_buf[fs, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            if key_pad is not None:
+                s = jnp.where(key_pad, _MASK, s)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            ctx = jax.lax.dot_general(
+                p.astype(dtype), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) / l
+            # head h's q slot is dead from here on: park ctx_h in it so
+            # the out projection sees the full [rows, c] ctx contiguous
+            qkv_buf[fs, :, h * hd:(h + 1) * hd] = ctx.astype(dtype)
+            return carry
+
+        jax.lax.fori_loop(0, fb // att_fb, _attn, 0)
+
+    t_m, n_m, tail_m = mlp_tile
+
+    def _proj_at(off, size):
+        sl = pl.ds(off, size)
+        cq, c_s = _quant_rows_f32(
+            qkv_buf[:, sl, :c].reshape(fb * size, c).astype(jnp.float32))
+        proj = _dense_i8(cq, c_s, wo, wos, bo, dtype)
+        h1_ref[:, sl] = x_ref[:, sl] + proj.reshape(fb, size, d)
 
     def _proj(ci, carry):
-        sl = pl.ds(ci * t_m, t_m)
-        cq, c_s = _quant_rows_f32(
-            qkv_buf[:, sl, :c].reshape(fb * t_m, c).astype(jnp.float32))
-        proj = _dense_i8(cq, c_s, wo, wos, bo, dtype)
-        h1_ref[:, sl] = x_ref[:, sl] + proj.reshape(fb, t_m, d)
+        _proj_at(ci * t_m, t_m)
         return carry
 
-    jax.lax.fori_loop(0, mlp_chunks, _proj, 0)
+    jax.lax.fori_loop(0, n_m, _proj, 0)
+    if tail_m:
+        _proj_at(n_m * t_m, tail_m)
 
-    def _back(ci, carry):
-        sl = pl.ds(ci * t_m, t_m)
+    def _back_at(off, size):
+        sl = pl.ds(off, size)
         seg = h1_ref[:, sl]
         hn = _ln_f32(seg.astype(jnp.float32), ln2s[0], ln2b[0],
                      eps).astype(dtype)
         hq, h_s = _quant_rows_f32(
-            hn.reshape(fb * t_m, d).astype(jnp.float32))
+            hn.reshape(fb * size, d).astype(jnp.float32))
         hh = _dense_i8(hq, h_s, w1, w1s, b1, dtype)
         hh = act_f(hh.astype(jnp.float32)).astype(dtype)
         gq, g_s = _quant_rows_f32(hh.astype(jnp.float32))
         mlp = _dense_i8(gq, g_s, w2, w2s, b2, dtype)
-        o_ref[:, sl] = seg + mlp.reshape(fb, t_m, d)
+        o_ref[:, sl] = seg + mlp.reshape(fb, size, d)
+
+    def _back(ci, carry):
+        _back_at(ci * t_m, t_m)
         return carry
 
-    jax.lax.fori_loop(0, mlp_chunks, _back, 0)
+    jax.lax.fori_loop(0, n_m, _back, 0)
+    if tail_m:
+        _back_at(n_m * t_m, tail_m)
 
 
 _DENSE_NAMES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
@@ -300,6 +371,24 @@ def _flat_weights_i8(p):
 #: to test the rows-per-tile hypothesis for the kernel's 30x slowdown.
 I8_ROW_BUDGET = 2 << 20
 
+#: f32-tile budget for the bf16 kernel's dense chunking (bytes). Bigger
+#: tiles = more MXU rows per dense dot; bounded by the Mosaic stack.
+DENSE_TILE_BUDGET = 8 << 20
+
+
+def _token_tile(sp: int, fb: int, width: int, budget: int,
+                ps: int = 8):
+    """Token-axis tile (t, n_main, tail): t a multiple of ps with the f32
+    [fb*t, width] transient under `budget`; tail = the (ps-aligned)
+    remainder chunk. Unlike equal-division chunking, t is free to be any
+    multiple of ps — at sp=584 the only 8-aligned equal divisions are 1 or
+    73 chunks, and 73 means 32-row dots that starve the MXU."""
+    t = max(ps, (budget // (fb * width * 4)) // ps * ps)
+    t = min(t, sp)
+    n_main = sp // t
+    tail = sp - n_main * t
+    return t, n_main, tail
+
 
 def _vit_layer_pallas_i8(x, weights, *, num_heads: int, eps: float,
                          kv_len: int, act: str, interpret: bool):
@@ -309,12 +398,11 @@ def _vit_layer_pallas_i8(x, weights, *, num_heads: int, eps: float,
     hd = d // num_heads
     dff = weights[17].shape[1]
     fb = _frames_per_step(bt, sp, d, dff, x.dtype.itemsize)
-    in_chunks = _row_chunks(sp, fb, 3 * d, ps=8, budget=I8_ROW_BUDGET)
-    mlp_chunks = _row_chunks(sp, fb, dff, ps=8, budget=I8_ROW_BUDGET)
     kernel = functools.partial(
         _vit_kernel_i8, heads=num_heads, hd=hd, scale=1.0 / math.sqrt(hd),
-        eps=eps, kv_len=kv_len, act=act, in_chunks=in_chunks,
-        mlp_chunks=mlp_chunks)
+        eps=eps, kv_len=kv_len, act=act,
+        in_tile=_token_tile(sp, fb, 3 * d, I8_ROW_BUDGET),
+        mlp_tile=_token_tile(sp, fb, dff, I8_ROW_BUDGET))
 
     full = lambda t: pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
                                   memory_space=pltpu.VMEM)
@@ -373,13 +461,13 @@ def _vit_layer_pallas(x, weights, *, num_heads: int, eps: float,
     hd = d // num_heads
     dff = weights[12].shape[1]
     fb = _frames_per_step(bt, sp, d, dff, x.dtype.itemsize)
-    # token-axis chunking, multiples of 8 (clean (8,128)-tile collapse)
-    in_chunks = _row_chunks(sp, fb, 3 * d, ps=8)
-    mlp_chunks = _row_chunks(sp, fb, dff, ps=8)
+    # token-axis main+tail tiling, multiples of 8 (clean (8,128)-tile
+    # collapse) sized for hundreds of MXU rows per dense dot
     kernel = functools.partial(
         _vit_kernel, heads=num_heads, hd=hd, scale=1.0 / math.sqrt(hd),
-        eps=eps, kv_len=kv_len, act=act, in_chunks=in_chunks,
-        mlp_chunks=mlp_chunks)
+        eps=eps, kv_len=kv_len, act=act,
+        in_tile=_token_tile(sp, fb, 3 * d, DENSE_TILE_BUDGET),
+        mlp_tile=_token_tile(sp, fb, dff, DENSE_TILE_BUDGET))
 
     full = lambda t: pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim,
                                   memory_space=pltpu.VMEM)
