@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -64,6 +65,12 @@ def _erf(x):
     t = 1.0 / (1.0 + p * ax)
     poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
     return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+#: f32-tile budget (bytes) for the front/MLP dense chunking. Bigger tiles
+#: = more MXU rows per dense dot, bounded by the Mosaic stack.
+#: Env-sweepable (VLS_HIERA_TILE_MB) for on-chip A/Bs.
+HIERA_TILE_BUDGET = int(os.environ.get("VLS_HIERA_TILE_MB", "2")) << 20
 
 
 def _gelu_f32(x):
@@ -387,8 +394,10 @@ def _hiera_block_pallas(x, weights, *, has_skip: bool, num_heads: int,
     n_wr = h // ss
     r = _rows_per_block(n_wr, ss, w, 3 * c, x.dtype.itemsize)
     rp, wp = r * ss // ps, w // ps
-    in_chunks = _row_chunks(r * ss, w, 3 * c, ps=ps)
-    mlp_chunks = _row_chunks(rp, wp, weights[8].shape[1])
+    in_chunks = _row_chunks(r * ss, w, 3 * c, ps=ps,
+                            budget=HIERA_TILE_BUDGET)
+    mlp_chunks = _row_chunks(rp, wp, weights[8].shape[1],
+                             budget=HIERA_TILE_BUDGET)
     # global-SDPA q chunking: keep the fp32 [rows_q*W, H*W] score tile
     # a few MiB (6 MiB budget, same class as the window-path tiles)
     sdpa_chunks = _row_chunks(h, w, h * w, budget=6 << 20) if ws == 0 else 1

@@ -373,7 +373,10 @@ I8_ROW_BUDGET = 2 << 20
 
 #: f32-tile budget for the bf16 kernel's dense chunking (bytes). Bigger
 #: tiles = more MXU rows per dense dot; bounded by the Mosaic stack.
-DENSE_TILE_BUDGET = 8 << 20
+#: Swept on-chip at the CLIP-L serving shape: 8 MiB -> 360.6 f/s,
+#: 16 -> 377.0, 24 -> 384.6, 32 -> 384.4 (flat). Env-sweepable
+#: (VLS_DENSE_TILE_MB) for future A/Bs.
+DENSE_TILE_BUDGET = int(os.environ.get("VLS_DENSE_TILE_MB", "24")) << 20
 
 
 def _token_tile(sp: int, fb: int, width: int, budget: int,
