@@ -674,9 +674,9 @@ def bench_e2e(n_llm_layers=32, n_frames=16, decode_tokens=64,
         try:
             params["llm"] = None
             gc.collect()
-            params["llm"] = llama.init_quantized(jax.random.PRNGKey(0),
-                                                 llm_cfg, bits=4,
-                                                 act_quant=True)
+            params["llm"] = llama.fuse_qkv_gateup(
+                llama.init_quantized(jax.random.PRNGKey(0), llm_cfg,
+                                     bits=4, act_quant=True))
             cfg_kv8 = dataclasses.replace(
                 cfg, llm=dataclasses.replace(llm_cfg, kv_cache_int8=True))
             caption = make_caption(cfg_kv8)
