@@ -67,13 +67,17 @@ def unpack_int4(packed):
 def _w4a8_kernel(xq_ref, asc_ref, wp_ref, wsc_ref, o_ref, *, half: int,
                  out_dtype):
     """One [tr, in] x [in/2, to] tile: in-VMEM nibble unpack + two
-    contiguous int8 MXU dots accumulated in int32. Unpack is 2 int32
-    shifts per nibble (sign extension by `<<` then arithmetic `>>`,
-    bit-exact vs the mask/compare/select form — tests/test_int4.py);
-    narrow-int shifts don't exist in Mosaic, int32 shifts do."""
+    contiguous int8 MXU dots accumulated in int32. Unpack is int32 shifts
+    (sign extension by `<<` then arithmetic `>>`, bit-exact vs the
+    mask/compare/select form — tests/test_int4.py); narrow-int shifts
+    don't exist in Mosaic, int32 shifts do. The high nibble needs only
+    ONE shift: p32 is the sign-extended byte, so the arithmetic `>> 4`
+    is floor(byte/16) = the signed high nibble exactly (byte = 16*hi +
+    lo_u with lo_u in [0,16)) — the unpack is a VPU pass over every
+    packed weight byte, so each shaved op matters at decode."""
     p32 = wp_ref[...].astype(jnp.int32)
     lo = ((p32 << 28) >> 28).astype(jnp.int8)
-    hi = ((p32 << 24) >> 28).astype(jnp.int8)
+    hi = (p32 >> 4).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq_ref[:, :half], lo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
