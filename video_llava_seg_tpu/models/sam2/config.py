@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -185,11 +186,45 @@ _ALIASES = {
     "facebook/sam2.1-hiera-large": "large",
 }
 
+# SAM2 v2.0 checkpoint family (sam2/configs/sam2/sam2_hiera_*.yaml;
+# hub map sam2/build_sam.py:14-31). Same trunks; the generation differs
+# ONLY in four flags the 2.1 yamls added (diff of the two yaml families):
+# no_obj_embed_spatial, add_tpos_enc_to_obj_ptrs, proj_tpos_enc_in_obj_ptrs,
+# use_signed_tpos_enc_to_obj_ptrs — all absent/false in 2.0.
+_ALIASES_V20 = {
+    "sam2-hiera-tiny": "tiny", "facebook/sam2-hiera-tiny": "tiny",
+    "sam2-hiera-t": "tiny",
+    "sam2-hiera-small": "small", "facebook/sam2-hiera-small": "small",
+    "sam2-hiera-s": "small",
+    "sam2-hiera-base-plus": "base_plus", "sam2-hiera-b+": "base_plus",
+    "facebook/sam2-hiera-base-plus": "base_plus",
+    "sam2-hiera-large": "large", "facebook/sam2-hiera-large": "large",
+    "sam2-hiera-l": "large",
+}
+
+V20_FLAGS = dict(no_obj_embed_spatial=False,
+                 add_tpos_enc_to_obj_ptrs=False,
+                 proj_tpos_enc_in_obj_ptrs=False,
+                 use_signed_tpos_enc_to_obj_ptrs=False)
+
 
 def sam2_config(variant: str = "small", image_size: int = 1024,
                 **overrides) -> SAM2Config:
     """Build a SAM2Config for a named variant (tiny/small/base_plus/large,
     or any reference checkpoint alias like 'facebook/sam2.1-hiera-small')."""
+    if variant in ("sam2-test-tiny", "test-tiny"):
+        # CPU-testable miniature, resolvable through SegHeadConfig
+        # .seg_backbone so composition tests thread the tiny backbone
+        # through make_sam2_cfg like any real variant
+        cfg = sam2_tiny_test_config()
+        if image_size != cfg.image_size and image_size != 1024:
+            cfg = dataclasses.replace(cfg, image_size=image_size)
+        return dataclasses.replace(cfg, **overrides) if overrides else cfg
+    if variant in _ALIASES_V20:
+        key = _ALIASES_V20[variant]
+        return SAM2Config(name=f"sam2-hiera-{key}",
+                          hiera=_HIERA_VARIANTS[key], image_size=image_size,
+                          **{**V20_FLAGS, **overrides})
     key = _ALIASES.get(variant, variant)
     if key not in _HIERA_VARIANTS:
         raise ValueError(f"unknown SAM2 variant: {variant}")
