@@ -291,12 +291,22 @@ def generate(params, cfg: VideoLlavaConfig, input_ids: np.ndarray, video,
 
 
 def extract_seg_hidden(tokens: np.ndarray, hidden, seg_token_idx: int,
-                       n_generated: int):
+                       n_generated: int, fallback_first: bool = False):
     """Gather the hidden states whose positions emitted [SEG] tokens
-    (llava_llama.py:184-199 semantics). Returns [N_seg, D] numpy."""
+    (llava_llama.py:184-199 semantics). Returns [N_seg, D] numpy.
+
+    fallback_first: when no [SEG] token was emitted, warn and treat the
+    token at index 0 as the seg token — the reference's inference-time
+    behavior (llava_llama.py:316-318), so a referral query always yields
+    a mask."""
     tokens = np.asarray(tokens)[0, :n_generated]
     hid = np.asarray(hidden)[0, :n_generated]
     sel = tokens == seg_token_idx
+    if fallback_first and not sel.any() and n_generated > 0:
+        print(f"WARN: No seg token found in output. Assuming that token at "
+              f"index 0 with ID {int(tokens[0])} is the seg token")
+        sel = np.zeros_like(sel)
+        sel[0] = True
     return hid[sel]
 
 
@@ -309,7 +319,7 @@ def forward_seg_head_inference(params, cfg: VideoLlavaConfig, tokens, hidden,
     seg_frames: list of [T, H, W, 3] in [0, 1]. Returns list of
     [N, T, H', W'] mask logits."""
     seg_hidden = extract_seg_hidden(tokens, hidden, cfg.seg_token_idx,
-                                    n_generated)
+                                    n_generated, fallback_first=True)
     if seg_hidden.shape[0] == 0:
         return None
     sam2_cfg = seg_head_mod.make_sam2_cfg(cfg.seg)

@@ -306,11 +306,17 @@ def mask_loss(pred_masks, gt_masks, valid_mask=None, key=None,
         zero = jnp.sum(p) * 0.0
         return {"loss_mask_dice": zero, "loss_mask_ce": zero,
                 "loss_mask": zero, "mask_ious": ious * 0.0,
-                "num_masks": jnp.zeros(())}
+                "num_masks": jnp.zeros(()),
+                "dice_sum": zero, "ce_sum": zero}
     ld = jnp.sum(ld_pm) / (num_masks + 1e-8)
     lc = jnp.sum(lc_pm) / (num_masks + 1e-8)
     dw = DICE_WEIGHT if dice_weight is None else dice_weight
     cw = CE_WEIGHT if ce_weight is None else ce_weight
+    # dice_sum/ce_sum: unnormalized per-sample sums — the reference
+    # normalizes by the BATCH-global mask count (mask_loss.py:43-57 cats
+    # all samples' masks before dividing by num_masks), so batched callers
+    # must aggregate sums and divide once (train_step.compute_loss)
     return {"loss_mask_dice": ld, "loss_mask_ce": lc,
             "loss_mask": ld * dw + lc * cw,
-            "mask_ious": ious, "num_masks": num_masks}
+            "mask_ious": ious, "num_masks": num_masks,
+            "dice_sum": jnp.sum(ld_pm), "ce_sum": jnp.sum(lc_pm)}

@@ -113,24 +113,33 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
                                          dummy=True, align=False)
             use_dummy = jnp.logical_not(has_b)
             pick = lambda a, b_: jnp.where(use_dummy, b_, a)  # noqa: E731
-            return (pick(out_real["loss_mask"], out_dummy["loss_mask"]),
-                    pick(out_real["loss_mask_dice"],
-                         out_dummy["loss_mask_dice"]),
-                    pick(out_real["loss_mask_ce"], out_dummy["loss_mask_ce"]),
+            return (pick(out_real["dice_sum"], out_dummy["dice_sum"]),
+                    pick(out_real["ce_sum"], out_dummy["ce_sum"]),
+                    pick(out_real["num_masks"], 0.0),
                     pick(jnp.sum(out_real["mask_ious"]), 0.0),
                     pick(n_valid_b, 0.0))
 
         valid = (batch["seg_valid"][:, :, None]
                  & batch["seg_frame_valid"][:, None, :])    # [B, N, Ts]
         n_valid = jnp.sum(batch["seg_valid"].astype(jnp.float32), axis=1)
-        lm, ld, lc, iou, ntr = jax.vmap(per_sample)(
+        dsum, csum, nmask, iou, ntr = jax.vmap(per_sample)(
             pred, batch["seg_masks"], valid, n_valid, batch["seg_padding"],
             batch["has_masks"], jax.random.split(rng, b))
-        loss_mask_sum = jnp.sum(lm)
-        total = total + loss_mask_sum
+        # batch-GLOBAL normalization: the reference concatenates every
+        # sample's (N*T) masks and divides the summed dice/BCE once by the
+        # total count (mask_loss.py:43-57) — per-sample means summed over
+        # the batch would overweight small-object samples by up to Bx
+        # (caught by tests/test_e2e_reference_parity.py)
+        num_total = jnp.sum(nmask)
+        loss_dice = jnp.sum(dsum) / (num_total + 1e-8)
+        loss_ce = jnp.sum(csum) / (num_total + 1e-8)
+        dw = losses.DICE_WEIGHT if dice_w is None else dice_w
+        cw = losses.CE_WEIGHT if ce_w is None else ce_w
+        loss_mask = loss_dice * dw + loss_ce * cw
+        total = total + loss_mask
         metrics.update({
-            "loss_mask": loss_mask_sum, "loss_mask_dice": jnp.sum(ld),
-            "loss_mask_ce": jnp.sum(lc), "mask_iou_sum": jnp.sum(iou),
+            "loss_mask": loss_mask, "loss_mask_dice": loss_dice,
+            "loss_mask_ce": loss_ce, "mask_iou_sum": jnp.sum(iou),
             "num_object_tracks": jnp.sum(ntr),
         })
     metrics["loss"] = total
