@@ -356,11 +356,12 @@ def test_run_inference_batched_queries(vicas_env, tmp_path):
 
 def test_batch2_fence_pads_to_green_batch(vicas_env, tmp_path, monkeypatch):
     """A 2-row serving group reproducibly crashes the TPU worker (bisected in
-    BENCH_NOTES.md). The fence pads batch 2 -> 4 with duplicate rows before
-    dispatch; the real rows' outputs must be token-exact vs the sequential
-    batch-1 run (this is the same output-equality contract as
-    test_run_inference_batched_queries, plus an assertion that generate
-    actually sees the padded batch)."""
+    BENCH_NOTES.md). The fence pads batch 2 -> 3 with ONE duplicate row
+    before dispatch (the round-4 bisection matrix proved batch 3 green —
+    cheaper than the round-4 fence's pad-to-4); the real rows' outputs must
+    be token-exact vs the sequential batch-1 run (this is the same
+    output-equality contract as test_run_inference_batched_queries, plus an
+    assertion that generate actually sees the padded batch)."""
     from video_llava_seg_tpu.inference import main as inf_main
     from video_llava_seg_tpu.models import llava
 
@@ -391,8 +392,8 @@ def test_batch2_fence_pads_to_green_batch(vicas_env, tmp_path, monkeypatch):
     bat.output_dir = str(tmp_path / "out_bat")
     bat.batch_queries = 2
     inf_main.run_inference(bat, model=_tiny_model())
-    # fixture has 1 caption + 1 referral -> one group of 2, padded to 4
-    assert seen_batches == [4]
+    # fixture has 1 caption + 1 referral -> one group of 2, padded to 3
+    assert seen_batches == [3]
 
     with open(osp.join(tmp_path, "out_seq", "000007.json")) as fh:
         a = json.load(fh)

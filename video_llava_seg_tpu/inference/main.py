@@ -215,8 +215,10 @@ def get_model_output(params, cfg: VideoLlavaConfig, tokenizer, video_bytes,
 
 # Batch sizes that fault the TPU worker -> nearest verified-green batch.
 # Batch 2 is the single bisected faulting size (BENCH_NOTES.md "Batch-2
-# serving fault"); 1, 4 and 8 are verified clean on chip.
-_FAULTING_BATCH_PAD = {2: 4}
+# serving fault"); 1, 3, 4 and 8 are verified clean on chip (the round-4
+# bisection matrix proved batch 3 SURVIVES). Pad to 3 — one dummy row,
+# not two: the cheapest green plan for a 2-query group.
+_FAULTING_BATCH_PAD = {2: 3}
 
 
 def _green_batch(n: int) -> int:
@@ -258,7 +260,7 @@ def get_model_output_batched(params, cfg: VideoLlavaConfig, tokenizer,
         # batch-2 fence: exactly batch 2 reproducibly crashes the TPU worker
         # when the vision-encode executable is resident (BENCH_NOTES.md
         # "Batch-2 serving fault" — infra-level, every component green solo;
-        # batches 1/4/8 run the identical structure and pass). Rows are
+        # batches 1/3/4/8 run the identical structure and pass). Rows are
         # independent under left-pad attention, so padding with duplicates of
         # the last row is token-exact for the real rows; the dummies are
         # sliced off below.
