@@ -30,6 +30,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running training-evidence tests")
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from video_llava_seg_tpu.config import MeshConfig

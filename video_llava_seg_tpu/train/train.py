@@ -203,7 +203,12 @@ def train(cfg: VideoLlavaConfig, tcfg: TrainConfig,
     with mesh:
         params = shard_params(params, mesh, fsdp=tcfg.mesh.fsdp)
         state, tx = create_train_state(params, tcfg)
-        step_fn = make_train_step(cfg, tcfg, tx)
+        from video_llava_seg_tpu.train.train_step import (
+            canonical_state_shardings,
+        )
+        step_fn = make_train_step(
+            cfg, tcfg, tx,
+            state_shardings=canonical_state_shardings(state))
 
         if synthetic:
             data_iter = synthetic_batches(cfg, tcfg.per_device_batch_size

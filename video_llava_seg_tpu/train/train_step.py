@@ -146,9 +146,45 @@ def compute_loss(params, cfg: VideoLlavaConfig, batch: Dict, rng,
     return total, metrics
 
 
+def canonical_state_shardings(state) -> Optional[TrainState]:
+    """The state-sharding fixed point for make_train_step: mesh-sharded
+    leaves keep their NamedSharding, everything else (step, optax count
+    scalars — created uncommitted by tx.init) pins mesh-REPLICATED. This
+    is also exactly how restore_checkpoint re-pins restored scalars, so
+    fresh, mid-run, and restored states share one executable. Returns
+    None when no leaf is mesh-sharded (single-device runs)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = next((leaf.sharding.mesh
+                 for leaf in jax.tree_util.tree_leaves(state)
+                 if isinstance(getattr(leaf, "sharding", None),
+                               NamedSharding)), None)
+    if mesh is None:
+        return None
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def f(x):
+        s = getattr(x, "sharding", None)
+        return s if isinstance(s, NamedSharding) else rep
+
+    return jax.tree_util.tree_map(f, state)
+
+
 def make_train_step(cfg: VideoLlavaConfig, tcfg: TrainConfig, tx,
-                    donate: bool = True, interpret: bool = False):
-    """Build the jitted train step closure."""
+                    donate: bool = True, interpret: bool = False,
+                    state_shardings: Optional[TrainState] = None):
+    """Build the jitted train step closure.
+
+    state_shardings: pin the OUTPUT state's shardings (pass
+    `jax.tree_util.tree_map(lambda x: x.sharding, state)`). Without it,
+    GSPMD is free to emit outputs with compiler-chosen shardings that
+    differ from the canonical shard_params layout; the state's sharding
+    then drifts after step 1, and a checkpoint-restored state (canonical
+    layout) dispatches a DIFFERENT executable variant than a mid-run
+    state — ULP-level divergence that breaks bitwise resume
+    (tests/test_fsdp_training.py pins this). With it, the state layout is
+    a fixed point of the step, so fresh, mid-run, and restored states all
+    hit one executable."""
 
     def loss_of(p, batch, rng):
         if tcfg.lora_enable and "lora" in p:
@@ -192,4 +228,7 @@ def make_train_step(cfg: VideoLlavaConfig, tcfg: TrainConfig, tx,
                                jax.tree_util.tree_leaves(grads)) if m])
         return TrainState(state.step + 1, params, opt_state), metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    kw = {}
+    if state_shardings is not None:
+        kw["out_shardings"] = (state_shardings, None)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else (), **kw)

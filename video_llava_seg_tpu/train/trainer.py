@@ -101,12 +101,45 @@ def save_projector_only(output_dir: str, params) -> str:
 
 
 def restore_checkpoint(path: str, state):
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding
 
     ckptr = ocp.StandardCheckpointer()
     target = {"params": state.params, "opt_state": state.opt_state,
               "step": state.step}
     restored = ckptr.restore(osp.abspath(osp.join(path, "state")), target)
+
+    # orbax restores every leaf COMMITTED to its device(s). Mesh-sharded
+    # leaves keep their NamedSharding, but scalars (step, optax counts)
+    # come back committed to device 0, and a jit call mixing arrays
+    # committed to 1 device with arrays committed to the 8-device mesh
+    # raises "incompatible devices". Worse, merely UNcommitting them makes
+    # the first resumed step run the jit variant specialized for
+    # fresh-state inputs, whose GSPMD schedule can differ at the ULP level
+    # from the mid-run variant — breaking bitwise resume. A mid-run
+    # state's scalars are mesh-REPLICATED (NamedSharding(mesh, P())), so
+    # restore them exactly that way; without a mesh (single-device runs)
+    # fall back to uncommitted, which is what a fresh state holds.
+    from jax.sharding import PartitionSpec
+
+    mesh = next((leaf.sharding.mesh
+                 for leaf in jax.tree_util.tree_leaves(target)
+                 if hasattr(leaf, "sharding")
+                 and isinstance(leaf.sharding, NamedSharding)), None)
+    replicated = (NamedSharding(mesh, PartitionSpec())
+                  if mesh is not None else None)
+
+    def repin(tgt, res):
+        if hasattr(tgt, "sharding") and isinstance(tgt.sharding,
+                                                   NamedSharding):
+            return res
+        host = jax.device_get(res)
+        if replicated is not None:
+            return jax.device_put(host, replicated)
+        return jnp.asarray(host)
+
+    restored = jax.tree_util.tree_map(repin, target, restored)
     return state._replace(step=restored["step"], params=restored["params"],
                           opt_state=restored["opt_state"])
 
