@@ -1,9 +1,11 @@
 """Benchmark entry point (driver contract: ONE JSON line on stdout).
 
-Headline metric (default run): vision-encode throughput (frames/s/chip) of
-the video tower — the north-star metric from BASELINE.json (target 2000
-frames/s/chip on a v5e). `--configs 1,2,3,4,5` (or `--all`) additionally
-runs the other BASELINE configs:
+Default run = the COMPACT FULL LADDER (--round): all seven configs at
+reduced iters, headline (config 3, vision-encode frames/s/chip vs the
+2000 f/s north star) first, under a wall-clock budget, with every
+config's number embedded in the driver line's "ladder" key and the full
+entries merged into BENCH_DETAIL.json. `--configs i,j` runs a subset at
+full iters:
 
   1. SAM2 Hiera-T image predictor: one frame + one box prompt -> mask
   2. SAM2 Hiera-L video predictor: propagation over a 16-frame clip
@@ -28,6 +30,7 @@ pulls, since latency includes them.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -223,34 +226,61 @@ def bench_sam2_image():
     rows = [once(_NONCE_I + i) for i in range(1, iters + 1)]
     sets, preds = (np.asarray(r) for r in zip(*rows))
 
-    # device-compute isolation: image resident on device, N encode+decode
-    # iterations dispatched async, ONE sync — amortizes the ~35 ms tunnel
-    # RTT out of the number so the predictor has a transfer-independent
-    # throughput figure like configs 2/3 (the e2e latencies above keep
-    # their honest transfer share)
+    # device-compute isolation: the WHOLE predict (encode + high-res convs
+    # + prompt encode + mask decode + mask upscale) repeated inside ONE
+    # lax.scan program, timed by two-point subtraction (t20 - t10)/10 — no
+    # per-dispatch RPC at all. The round-4 async-dispatch variant (one
+    # dispatch pair per iteration, one final sync) reported 50.9 ms/iter,
+    # which scripts/config1_probe.py decomposed to be ~85% per-dispatch
+    # tunnel send/queue overhead: the true in-graph figure is ~7 ms.
     import jax.numpy as jnp
 
-    img_dev = jax.block_until_ready(jnp.asarray(img)[None])
-    coords, labels, m = pred._prep_prompts(None, None, box, None, True, -1)
-    cdev, ldev, mdev = (jnp.asarray(v) for v in (coords, labels, m))
-    orig_hw = tuple(pred._orig_hw[-1])
+    from video_llava_seg_tpu.models.sam2 import (
+        image_encoder as _enc_mod,
+        mask_decoder as _dec_mod,
+        prompt_encoder as _pe_mod,
+    )
+    from video_llava_seg_tpu.ops import nn as _nn_ops
+    from video_llava_seg_tpu.ops.resize import interpolate_hw as _interp
 
-    def dev_iter(salt):
-        feats = pred._encode(pred.params,
-                             img_dev + jnp.uint8(salt % 251))
-        masks, ious, _ = pred._decode(
-            pred.params, feats["image_embed"][-1][None],
-            tuple(f[-1][None] for f in feats["high_res_feats"]),
-            cdev, ldev, mdev, multimask_output=True, has_mask=False,
-            orig_hw=orig_hw, return_logits=False)
-        return ious
+    cfgm = pred.cfg
+    img_dev = jax.block_until_ready(
+        jnp.asarray(img, jnp.float32)[None] / 255.0)
+    coords = jnp.asarray([[[256.0, 256.0], [768.0, 768.0]]])
+    labels = jnp.asarray([[2, 3]], jnp.int32)
+    image_pe = _pe_mod.get_dense_pe(pred.params["prompt_encoder"], cfgm)
 
-    float(dev_iter(0).ravel()[0])        # compile + warmup, value barrier
-    n_dev = 10
-    t0 = time.time()
-    outs = [dev_iter(_NONCE_I + i) for i in range(1, n_dev + 1)]
-    float(outs[-1].ravel()[0])           # value pull = reliable barrier
-    device_ms = 1e3 * (time.time() - t0) / n_dev
+    def full_predict(s):
+        out = _enc_mod.apply(pred.params["image_encoder"], cfgm,
+                             (img_dev + s).astype(jnp.bfloat16))
+        s0 = _nn_ops.conv2d(pred.params["mask_decoder"]["conv_s0"],
+                            out["backbone_fpn"][0])
+        s1 = _nn_ops.conv2d(pred.params["mask_decoder"]["conv_s1"],
+                            out["backbone_fpn"][1])
+        sparse, dense = _pe_mod.apply(pred.params["prompt_encoder"], cfgm,
+                                      coords + s, labels, None)
+        low, ious, _, _ = _dec_mod.apply(
+            pred.params["mask_decoder"], cfgm, out["vision_features"],
+            image_pe, sparse, dense, multimask_output=True,
+            high_res_features=[s0, s1])
+        masks = _interp(low.astype(jnp.float32),
+                        (cfgm.image_size, cfgm.image_size), "bilinear")
+        return jnp.sum(ious.astype(jnp.float32)) + jnp.sum(masks) * 1e-9
+
+    def scan_run(n):
+        def body(c, i):
+            return c + full_predict(c * 1e-20 + i * 1e-6 + _NONCE), None
+
+        g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0),
+                                         jnp.arange(n))[0])
+        float(g())                 # compile + warmup (value pull)
+        t0 = time.time()
+        v = g()
+        float(v)                   # value pull = reliable barrier
+        return time.time() - t0
+
+    t10, t20 = scan_run(10), scan_run(20)
+    device_ms = 1e3 * (t20 - t10) / 10
 
     return {
         "config": 1, "metric": "sam2_image_predict_latency",
@@ -258,8 +288,11 @@ def bench_sam2_image():
         "predict_ms": round(1e3 * float(np.median(preds)), 1),
         "e2e_ms": round(1e3 * float(np.median(sets + preds)), 1),
         "device_ms": round(device_ms, 1),
-        "device_ms_note": "amortized encode+decode, device-resident image,"
-                          " one sync per 10 iters (tunnel RTT excluded)",
+        "device_ms_note": "full predict (encode+convs+prompt+decode+mask "
+                          "upscale) in-graph scan, two-point (t20-t10)/10 "
+                          "— zero dispatch overhead; r4's 50.9 ms was "
+                          "~85% per-dispatch tunnel cost "
+                          "(scripts/config1_probe.py decomposition)",
         "variant": "hiera-tiny@1024",
         # transfer-dominated on this host: the 3 MB uint8 image push and
         # the result pulls ride a ~35 ms-RTT / ~15-70 MB/s tunnel
@@ -821,8 +854,8 @@ def bench_serving(n_frames=16, decode_tokens=64, batches=(1, 2, 4, 8),
         try:
             # serve through the CLI's batch fence: batch 2 faults the TPU
             # worker (BENCH_NOTES "Batch-2 serving fault"), so the product
-            # pads it to the verified-green batch 4 with duplicate rows
-            # and discards the dummies — measure what the product does,
+            # pads it to the bisected-green batch 3 with ONE duplicate row
+            # and discards the dummy — measure what the product does,
             # counting only the b REAL clips toward throughput
             from video_llava_seg_tpu.inference.main import _green_batch
 
@@ -1014,9 +1047,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="3",
-                    help="comma-separated BASELINE config ids (1-7)")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated BASELINE config ids (1-7); "
+                         "default = the compact full ladder (--round)")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--round", action="store_true",
+                    help="compact full ladder: all 7 configs at reduced "
+                         "iters, headline (config 3) first, under a "
+                         "wall-clock budget — the driver-artifact mode")
+    ap.add_argument("--budget_s", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 2400)),
+                    help="round-mode wall budget: stop starting new "
+                         "configs past this many seconds")
     ap.add_argument("--serving_batches", default=None,
                     help="config 7: comma-separated batch sizes to sweep "
                          "in THIS process (results merge across runs)")
@@ -1030,8 +1072,25 @@ def main():
                          "can't co-run, like 2, or can't fit, like 8 "
                          "after the sweep's executables, measure solo)")
     args = ap.parse_args()
-    ids = ([1, 2, 3, 4, 5] if args.all
-           else [int(x) for x in args.configs.split(",")])
+    round_mode = args.round or (args.configs is None and not args.all)
+    if args.all:
+        ids = [1, 2, 3, 4, 5]
+    elif round_mode:
+        # headline first so a budget/tunnel death still leaves the driver
+        # line; cheap configs next, heavy unrolled-32L programs last
+        ids = [3, 1, 2, 4, 6, 5, 7]
+        import functools
+
+        # compact variants: reduced iters/decode budgets, same hardened
+        # timers — every headline lands in BENCH_r{N}.json each round
+        # (VERDICT r4 weak #3) instead of only config 3
+        BENCHES[4] = functools.partial(bench_caption, decode_steps=16)
+        BENCHES[5] = functools.partial(bench_e2e, decode_tokens=32)
+        BENCHES[6] = functools.partial(bench_qlora_train, steps=3)
+        BENCHES[7] = functools.partial(bench_serving, batches=(1, 2),
+                                       decode_curve=False)
+    else:
+        ids = [int(x) for x in args.configs.split(",")]
     if args.serving_batches is not None:
         import functools
 
@@ -1056,7 +1115,16 @@ def main():
             json.dump(dict(sorted(detail.items())), fh, indent=1)
 
     results = {}
+    t_start = time.time()
     for i in ids:
+        if (round_mode and results
+                and time.time() - t_start > args.budget_s):
+            # budget guard: never risk the driver's timeout killing the
+            # process before the headline line prints
+            results[i] = {"config": i,
+                          "skipped_budget": round(time.time() - t_start)}
+            _eprint(results[i])
+            continue
         try:
             r = BENCHES[i]()
         except Exception as e:  # keep the headline alive if one config dies
@@ -1074,12 +1142,21 @@ def main():
             jax.clear_caches()
 
     head = results.get(3) or next(iter(results.values()))
-    print(json.dumps({
+    line = {
         "metric": head.get("metric", "error"),
         "value": head.get("value", 0),
         "unit": head.get("unit", ""),
         "vs_baseline": head.get("vs_baseline", 0),
-    }))
+    }
+    if round_mode:
+        # compact per-config summary inside the single driver line
+        line["ladder"] = {
+            str(i): ({"value": r.get("value"), "unit": r.get("unit")}
+                     if "value" in r else
+                     {k: r[k] for k in ("error", "skipped_budget")
+                      if k in r})
+            for i, r in sorted(results.items())}
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ SHAPES = [
 ]
 
 
-def probe(name, in_dim, out, iters, rows=8):
+def probe(name, in_dim, out, iters, rows=8, to_cap=1024):
     """Per-call time via in-graph repetition: one dispatch scans the dense
     over `iters` distinct activation slices, so tunnel RTT and dispatch
     overhead amortize inside the program; a two-point (iters, 2*iters)
@@ -52,7 +52,8 @@ def probe(name, in_dim, out, iters, rows=8):
 
     def run(n):
         def body(carry, xq):
-            y = int4.w4a8_matmul(xq, a_scale, packed, w_scale, jnp.bfloat16)
+            y = int4.w4a8_matmul(xq, a_scale, packed, w_scale, jnp.bfloat16,
+                                 to_cap=to_cap)
             return carry + y[0, 0].astype(jnp.float32), None
 
         fn = jax.jit(lambda xs_n: jax.lax.scan(
@@ -76,12 +77,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--rows", type=int, default=8)
+    ap.add_argument("--to_cap", type=int, default=1024,
+                    help="w4a8_matmul out-tile cap (weight-stream DMA "
+                         "granularity) to ablate")
     args = ap.parse_args()
 
-    print(f"devices: {jax.devices()}  nonce={_NONCE}")
+    print(f"devices: {jax.devices()}  nonce={_NONCE}  to_cap={args.to_cap}")
     tot_t, tot_b = 0.0, 0.0
     for name, in_dim, out in SHAPES:
-        dt, gb = probe(name, in_dim, out, args.iters, rows=args.rows)
+        dt, gb = probe(name, in_dim, out, args.iters, rows=args.rows,
+                       to_cap=args.to_cap)
         tot_t += dt
         tot_b += gb
     # per-layer aggregate -> implied 32-layer decode weight-stream time

@@ -100,9 +100,13 @@ def _tile(n: int, cap: int, align: int) -> int:
 
 
 def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
-                interpret: bool = False):
+                interpret: bool = False, to_cap: int = 1024):
     """xq: int8 [rows, in]; a_scale: f32 [rows, 1]; packed: int8
-    [in/2, out]; w_scale: f32 [out]. Returns [rows, out] out_dtype."""
+    [in/2, out]; w_scale: f32 [out]. Returns [rows, out] out_dtype.
+
+    to_cap: out-tile size cap (DMA granularity of the weight stream);
+    default from the on-chip sweep below, overridable for ablation
+    (scripts/w4a8_decode_probe.py --to_cap)."""
     rows, in_dim = xq.shape
     half, out = packed.shape
     assert half * 2 == in_dim, (half, in_dim)
@@ -119,7 +123,7 @@ def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
     # tile cap swept on chip at the 8-layer decode slice: 512 -> 2.44,
     # 1024 -> 2.33, 2048 -> 2.56 ms/tok (bigger DMAs win until the
     # double-buffered tile pair stops fitting VMEM comfortably)
-    to = _tile(out, 1024, 128)
+    to = _tile(out, to_cap, 128)
 
     # grid order: out tiles OUTER, row tiles inner — the weight tile's
     # block index then only changes with the outer step, so the packed
