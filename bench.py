@@ -271,11 +271,14 @@ def bench_sam2_image():
         def body(c, i):
             return c + full_predict(c * 1e-20 + i * 1e-6 + _NONCE), None
 
-        g = jax.jit(lambda: jax.lax.scan(body, jnp.float32(0),
-                                         jnp.arange(n))[0])
-        float(g())                 # compile + warmup (value pull)
+        g = jax.jit(lambda c0: jax.lax.scan(body, c0,
+                                            jnp.arange(n))[0])
+        # warmup and timed call take DIFFERENT seed bytes: the relay
+        # caches byte-identical executions, and a warmed-up rerun of the
+        # same program+inputs measures the cache, not the chip
+        float(g(jnp.float32(_NONCE * 1e-9)))    # compile + warmup
         t0 = time.time()
-        v = g()
+        v = g(jnp.float32(_NONCE * 1e-9 + 0.125))
         float(v)                   # value pull = reliable barrier
         return time.time() - t0
 

@@ -1,12 +1,21 @@
 """W4A8 decode-dense microbench: effective HBM bandwidth per serving shape.
 
 Decode is weight-HBM-bound (BENCH_NOTES "fused QKV/gate-up serving layout"),
-so each dense's figure of merit is packed-bytes / kernel-time vs the ~819
-GB/s v5e spec. Timers follow the hardened discipline: process-unique nonce
-salts (relay result cache) and a value-pull barrier on the last output
-(block_until_ready lies over the tunnel). Run solo on the idle chip.
+so the figure of merit is packed-bytes / kernel-time vs the ~819 GB/s v5e
+spec. Measures the four Llama-3-8B serving denses CHAINED as one decode
+layer per scan step (the decision variable for the tile cap is the layer
+aggregate; per-dense two-point readings at 30-350 us/call sit below this
+tunnel's run-to-run variance and came back unphysical — BENCH_NOTES r5).
 
-Usage: python scripts/w4a8_decode_probe.py [--iters 50] [--to_cap 1024]
+Timer discipline:
+- in-graph lax.scan repetition (tunnel RTT + dispatch cost amortize);
+- two-point (t(2n) - t(n)) / n cancels the residual constant;
+- the timed call of each length takes a DIFFERENT salt input than its
+  warmup call: the relay caches byte-identical executions and would
+  otherwise return the timed rerun from cache in one RTT.
+
+Usage: python scripts/w4a8_decode_probe.py [--iters 1500] [--rows 8]
+       [--to_cap 1024]
 """
 
 import argparse
@@ -34,64 +43,64 @@ SHAPES = [
 ]
 
 
-def probe(name, in_dim, out, iters, rows=8, to_cap=1024):
-    """Per-call time via in-graph repetition: one dispatch scans the dense
-    over `iters` distinct activation slices, so tunnel RTT and dispatch
-    overhead amortize inside the program; a two-point (iters, 2*iters)
-    subtraction cancels what remains. Weights live in HBM and re-stream
-    every scan step — exactly decode's access pattern."""
-    rng = np.random.default_rng(0)
-    packed = jnp.asarray(
-        rng.integers(-120, 120, (in_dim // 2, out), np.int8))
-    w_scale = jnp.asarray(rng.random(out, np.float32) * 0.01)
-    a_scale = jnp.asarray(rng.random((rows, 1), np.float32) * 0.01 + 0.01)
-    # nonce-salted distinct activations per scan step (relay cache)
-    xs = jnp.asarray(
-        (rng.integers(-127, 127, (2 * iters, rows, in_dim)) + _NONCE)
-        .astype(np.int8))
-
-    def run(n):
-        def body(carry, xq):
-            y = int4.w4a8_matmul(xq, a_scale, packed, w_scale, jnp.bfloat16,
-                                 to_cap=to_cap)
-            return carry + y[0, 0].astype(jnp.float32), None
-
-        fn = jax.jit(lambda xs_n: jax.lax.scan(
-            body, jnp.float32(0), xs_n)[0])
-        sliced = xs[:n]
-        float(fn(sliced))  # compile + warmup (value pull)
-        t0 = time.time()
-        v = fn(sliced)
-        float(v)  # value pull = barrier
-        return time.time() - t0
-
-    t1, t2 = run(iters), run(2 * iters)
-    dt = (t2 - t1) / iters
-    gbytes = packed.size / 1e9
-    print(f"{name:10s} [{in_dim:6d}->{out:6d}] {dt * 1e6:8.1f} us/call  "
-          f"{gbytes / dt:7.1f} GB/s  ({gbytes * 1e3:6.1f} MB packed)")
-    return dt, gbytes
-
-
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=1500)
     ap.add_argument("--rows", type=int, default=8)
     ap.add_argument("--to_cap", type=int, default=1024,
                     help="w4a8_matmul out-tile cap (weight-stream DMA "
                          "granularity) to ablate")
     args = ap.parse_args()
+    rows = args.rows
 
-    print(f"devices: {jax.devices()}  nonce={_NONCE}  to_cap={args.to_cap}")
-    tot_t, tot_b = 0.0, 0.0
+    print(f"devices: {jax.devices()}  nonce={_NONCE}  to_cap={args.to_cap}",
+          flush=True)
+    rng = np.random.default_rng(_NONCE % (2**32))
+    weights = []
+    gbytes = 0.0
     for name, in_dim, out in SHAPES:
-        dt, gb = probe(name, in_dim, out, args.iters, rows=args.rows,
-                       to_cap=args.to_cap)
-        tot_t += dt
-        tot_b += gb
-    # per-layer aggregate -> implied 32-layer decode weight-stream time
-    print(f"layer aggregate: {tot_t * 1e3:.3f} ms  {tot_b / tot_t:.1f} GB/s "
-          f"-> 32L weight stream {tot_t * 32 * 1e3:.2f} ms/tok")
+        packed = jnp.asarray(
+            rng.integers(-120, 120, (in_dim // 2, out), np.int8))
+        w_scale = jnp.asarray(rng.random(out, np.float32) * 0.01)
+        weights.append((in_dim, out, packed, w_scale))
+        gbytes += packed.size / 1e9
+    a_scale = jnp.asarray(rng.random((rows, 1), np.float32) * 0.01 + 0.01)
+    # small activation pools, indexed modulo per step (intra-call byte
+    # reuse is fine — the relay cache keys on the CALL's full input set,
+    # and the per-call salt differs)
+    pools = {in_dim: jnp.asarray(rng.integers(
+        -127, 127, (64, rows, in_dim)).astype(np.int8))
+        for in_dim in {s[1] for s in SHAPES}}
+
+    def layer_step(salt, i):
+        tot = jnp.float32(0)
+        for in_dim, out, packed, w_scale in weights:
+            xq = pools[in_dim][i % 64]
+            y = int4.w4a8_matmul(xq, a_scale * (1.0 + salt * 1e-9), packed,
+                                 w_scale, jnp.bfloat16, to_cap=args.to_cap)
+            tot = tot + y[0, 0].astype(jnp.float32)
+        return tot
+
+    def run(n, salt):
+        def body(c, i):
+            return c + layer_step(c * 1e-20 + salt, i), None
+
+        fn = jax.jit(lambda s0: jax.lax.scan(
+            body, s0, jnp.arange(n))[0])
+        float(fn(jnp.float32(salt)))            # compile + warmup
+        t0 = time.time()
+        v = fn(jnp.float32(salt + 0.5))         # fresh bytes: no cache
+        float(v)                                # value pull = barrier
+        return time.time() - t0
+
+    n = args.iters
+    t1, t2 = run(n, _NONCE * 1e-9), run(2 * n, _NONCE * 1e-9 + 7.0)
+    dt = (t2 - t1) / n
+    print(f"layer aggregate: {dt * 1e3:.3f} ms/step  "
+          f"{gbytes / dt:7.1f} GB/s effective  "
+          f"({gbytes * 1e3:.1f} MB packed/layer)  "
+          f"-> 32L weight stream {dt * 32 * 1e3:.2f} ms/tok  "
+          f"[t({n})={t1:.3f}s t({2*n})={t2:.3f}s]")
 
 
 if __name__ == "__main__":

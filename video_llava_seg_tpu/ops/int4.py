@@ -100,13 +100,13 @@ def _tile(n: int, cap: int, align: int) -> int:
 
 
 def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
-                interpret: bool = False, to_cap: int = 1024):
+                interpret: bool = False, to_cap: Optional[int] = None):
     """xq: int8 [rows, in]; a_scale: f32 [rows, 1]; packed: int8
     [in/2, out]; w_scale: f32 [out]. Returns [rows, out] out_dtype.
 
     to_cap: out-tile size cap (DMA granularity of the weight stream);
-    default from the on-chip sweep below, overridable for ablation
-    (scripts/w4a8_decode_probe.py --to_cap)."""
+    default picks by regime from the round-5 on-chip sweep, overridable
+    for ablation (scripts/w4a8_decode_probe.py --to_cap)."""
     rows, in_dim = xq.shape
     half, out = packed.shape
     assert half * 2 == in_dim, (half, in_dim)
@@ -120,9 +120,15 @@ def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
         xq = jnp.pad(xq, ((0, rp - rows), (0, 0)))
         a_scale = jnp.pad(a_scale, ((0, rp - rows), (0, 0)),
                           constant_values=1.0)
-    # tile cap swept on chip at the 8-layer decode slice: 512 -> 2.44,
-    # 1024 -> 2.33, 2048 -> 2.56 ms/tok (bigger DMAs win until the
-    # double-buffered tile pair stops fitting VMEM comfortably)
+    if to_cap is None:
+        # decode regime (small row tile): round-5 relay-cache-hardened
+        # layer-aggregate sweep measured 512 -> 591 GB/s effective /
+        # 1024 -> 570 / 2048 -> 533 / 4096 -> 540 (BENCH_NOTES r5; the
+        # round-4 "1024 best" reading was a relay-cache artifact).
+        # prefill regime (256-row tiles): keep 1024 — smaller out tiles
+        # re-fetch the 256xIN int8 activation tile per out step, doubling
+        # its traffic, and prefill is MXU-bound where that matters
+        to_cap = 512 if tr == 8 else 1024
     to = _tile(out, to_cap, 128)
 
     # grid order: out tiles OUTER, row tiles inner — the weight tile's
