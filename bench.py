@@ -290,6 +290,8 @@ def bench_sam2_image():
         "set_image_ms": round(1e3 * float(np.median(sets)), 1),
         "predict_ms": round(1e3 * float(np.median(preds)), 1),
         "e2e_ms": round(1e3 * float(np.median(sets + preds)), 1),
+        "value": round(device_ms, 1),
+        "unit": "ms device compute (full predict, in-graph)",
         "device_ms": round(device_ms, 1),
         "device_ms_note": "full predict (encode+convs+prompt+decode+mask "
                           "upscale) in-graph scan, two-point (t20-t10)/10 "

@@ -121,14 +121,19 @@ def w4a8_matmul(xq, a_scale, packed, w_scale, out_dtype,
         a_scale = jnp.pad(a_scale, ((0, rp - rows), (0, 0)),
                           constant_values=1.0)
     if to_cap is None:
-        # decode regime (small row tile): round-5 relay-cache-hardened
-        # layer-aggregate sweep measured 512 -> 591 GB/s effective /
-        # 1024 -> 570 / 2048 -> 533 / 4096 -> 540 (BENCH_NOTES r5; the
-        # round-4 "1024 best" reading was a relay-cache artifact).
-        # prefill regime (256-row tiles): keep 1024 — smaller out tiles
-        # re-fetch the 256xIN int8 activation tile per out step, doubling
-        # its traffic, and prefill is MXU-bound where that matters
-        to_cap = 512 if tr == 8 else 1024
+        # 1024 everywhere — settled by a full-program A/B, not the
+        # isolated kernel sweep. The round-5 relay-cache-hardened
+        # layer-aggregate sweep favors 512 in isolation (591 vs 570 GB/s
+        # effective), but the REAL full-depth decode measures 7.32 ms/tok
+        # at 1024 vs 7.62 at 512 (same session, full iters): inside the
+        # whole program the weight stream shares HBM with KV-cache reads
+        # and attention, and fewer/larger weight DMAs coexist better.
+        # Isolated-kernel optima do not transfer (BENCH_NOTES r5).
+        # VLS_W4A8_TO_CAP_DECODE: ablation override for the decode regime
+        import os
+
+        to_cap = (int(os.environ.get("VLS_W4A8_TO_CAP_DECODE", "1024"))
+                  if tr == 8 else 1024)
     to = _tile(out, to_cap, 128)
 
     # grid order: out tiles OUTER, row tiles inner — the weight tile's
